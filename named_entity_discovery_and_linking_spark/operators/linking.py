@@ -1,0 +1,339 @@
+"""Entity linking (reference pipeline E2) as pure DataFrame transformations.
+
+Reproduces ``xianyang_linking/linking.py`` semantics without Lucene or any
+mutable state:
+
+  - SRC6 KB cleaning            linking.py:28-43
+  - SRC5 alias fan-out          linking.py:46-75
+  - J1 exact candidate gen      linking.py:110-119 (Lucene AND-of-terms ->
+                                inverted token index + count(all tokens) join)
+  - F6/F7 type gate + id dedup  linking.py:150-169
+  - rule scoring                linking.py:173-202
+  - W5 argmax tie set           linking.py:204-213
+  - J2 fuzzy retry on NILs      linking.py:141-148, 320-329 (levenshtein join)
+  - disamb (X6 edit + IoU ctx)  linking.py:284-307
+  - A7 confidence normalization linking.py:303-305
+  - W3 top-1 by confidence      linking.py:306
+  - J3/A1/A6 temporary KB       linking.py:338-388, 469-475 (two-pass over the
+                                NIL subset; ids deterministic sha1, not a
+                                mutable counter — documented deviation)
+
+Scale notes: the alias/token index is broadcast (cleaned LORELEI-style KB is
+MB-scale); mention-side joins shuffle on token, which is the skew surface —
+AQE skew-join is on (session.py) and hot mention names are naturally spread
+because the join key is (token), not (mention).  The fuzzy pass runs only on
+the (small) still-NIL subset, mirroring the reference's retry-on-miss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOP_K_CANDIDATES = 100  # linking.py:112
+TMPKB_PROMOTE_MIN = 5  # linking.py:473-475
+MAX_FUZZY_DIST = 5  # linking.py:320
+
+
+# ------------------------------------------------------------------ KB prep
+
+def clean_kb(kb: DataFrame) -> DataFrame:
+    """SRC6 (linking.py:28-43): drop duplicate eids (first wins — order is
+    undefined in a set-oriented engine, so 'first' = min source ordering via
+    monotonically increasing row id is avoided; we keep an arbitrary-but-
+    deterministic row per eid by ordering on all columns); drop GEO rows with
+    country not in (RU, UA) and empty wiki."""
+    w = Window.partitionBy("eid").orderBy("src", "type", "name", "country", "feature", "wiki")
+    return (
+        kb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .filter(
+            ~(
+                (F.col("src") == "GEO")
+                & ~F.col("country").isin("RU", "UA")
+                & (F.col("wiki") == "")
+            )
+        )
+    )
+
+
+def build_alias_table(kb_clean: DataFrame, aliases: DataFrame) -> DataFrame:
+    """SRC5 (linking.py:46-75): one row per (eid, surface name) — the
+    canonical name plus every alias; carries the canonical name and the
+    `info` fields the scorer reads.  `info` tab-field semantics:
+      GEO -> country \\t feature \\t wiki   (3 fields)
+      WLL -> 3 joined bio fields            (3 fields)
+      APB -> 1 field                        (1 field)
+    The scorer's "wiki" bonus is actually `len(info.split('\\t'))==3`
+    (linking.py:190) — we materialize `info_nfields` to reproduce that bug-
+    for-bug."""
+    base = kb_clean.select(
+        "eid",
+        F.col("name").alias("cand_name"),
+        F.col("name").alias("cname"),
+        F.col("type").alias("cand_type"),
+        "src", "country", "feature", "wiki",
+    )
+    al = (
+        aliases.join(kb_clean.select("eid", "name", "type", "src", "country", "feature", "wiki"), "eid")
+        .select(
+            "eid",
+            F.col("alias").alias("cand_name"),
+            F.col("name").alias("cname"),
+            F.col("type").alias("cand_type"),
+            "src", "country", "feature", "wiki",
+        )
+    )
+    surf = base.unionByName(al)
+    info = (
+        F.when(F.col("src") == "GEO", F.concat_ws("\t", "country", "feature", "wiki"))
+        .when(F.col("src") == "WLL", F.col("country"))  # fixture stores WLL bio in `country`
+        .when(F.col("src") == "APB", F.col("country"))
+        .otherwise(F.lit(""))
+    )
+    nfields = (
+        F.when(F.col("src") == "GEO", F.lit(3))
+        .when(F.col("src") == "WLL", F.lit(3))
+        .otherwise(F.lit(1))
+    )
+    return (
+        surf.withColumn("alias_id", F.monotonically_increasing_id())
+        .withColumn("info", info)
+        .withColumn("info_nfields", nfields)
+        .withColumn("name_norm", F.lower(F.col("cand_name")))
+        .withColumn("tokens", F.expr(r"filter(split(lower(cand_name), '[^\\p{L}\\p{N}]+'), t -> t != '')"))
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+
+
+# ------------------------------------------------------------------ candidate generation
+
+def _nam_queries(mentions: DataFrame) -> DataFrame:
+    """NAM mentions -> (mid, ent_name, ent_type, sent_text) query rows.
+    ent_name = lower(mention), ent_type = type[7:10] (linking.py:310)."""
+    return (
+        mentions.filter(F.col("category") == "NAM")  # F10
+        .select(
+            "url", "mid",
+            F.lower(F.col("mention")).alias("ent_name"),
+            F.substring(F.col("type"), 8, 3).alias("ent_type"),  # X4
+            F.lower(F.col("sent_text")).alias("sent_ctx"),
+            "sent_text",
+        )
+        .withColumn("q_tokens", F.expr(r"array_distinct(filter(split(ent_name, '[^\\p{L}\\p{N}]+'), t -> t != ''))"))
+        .withColumn("n_q", F.size("q_tokens"))
+        .filter(F.col("n_q") > 0)
+    )
+
+
+def generate_candidates(queries: DataFrame, alias_table: DataFrame, fuzzy_dist: int = 0) -> DataFrame:
+    """J1/J2: Lucene AND-of-terms retrieval as a token join.
+
+    Exact (dist=0): mention token == alias token.
+    Fuzzy (dist>0): levenshtein(mention token, alias token) <= dist, with a
+    length-band pre-filter so the join has an equi-ish prune (linking.py:141-148).
+    A candidate survives iff EVERY query token matched (AND semantics,
+    linking.py:106).  Capped at top-100 per mention (linking.py:112), ordered
+    by closeness (fewer extra alias tokens first) as the Lucene-score proxy.
+    """
+    q_tok = queries.select("mid", "n_q", F.explode("q_tokens").alias("q_tok"))
+    a_tok = alias_table.select(
+        "alias_id", "eid", "cand_name", "cname", "cand_type", "info",
+        "info_nfields", "n_tokens", F.explode("tokens").alias("a_tok"),
+    )
+    if fuzzy_dist == 0:
+        joined = q_tok.join(F.broadcast(a_tok), q_tok.q_tok == a_tok.a_tok)
+    else:
+        cond = (
+            (F.length(a_tok.a_tok) >= F.length(q_tok.q_tok) - fuzzy_dist)
+            & (F.length(a_tok.a_tok) <= F.length(q_tok.q_tok) + fuzzy_dist)
+            & (F.levenshtein(q_tok.q_tok, a_tok.a_tok) <= fuzzy_dist)
+        )
+        joined = q_tok.join(F.broadcast(a_tok), cond)
+    cands = (
+        joined.groupBy("mid", "n_q", "alias_id", "eid", "cand_name", "cname",
+                       "cand_type", "info", "info_nfields", "n_tokens")
+        .agg(F.countDistinct("q_tok").alias("n_matched"))
+        .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
+    )
+    w = Window.partitionBy("mid").orderBy(F.col("n_tokens").asc(), F.col("alias_id").asc())
+    return (
+        cands.withColumn("lucene_rank", F.row_number().over(w))
+        .filter(F.col("lucene_rank") <= TOP_K_CANDIDATES)  # W4
+    )
+
+
+# ------------------------------------------------------------------ scoring
+
+def score_candidates(cands: DataFrame, queries: DataFrame) -> DataFrame:
+    """F6 type gate + F7 id-dedup + rule scores + W5 argmax tie-keeping
+    (linking.py:150-213), fully columnar."""
+    df = cands.join(queries.select("url", "mid", "ent_name", "ent_type", "sent_ctx", "sent_text"), "mid")
+    # F6 type-compat gate (linking.py:151-159)
+    gate = (
+        (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
+        | ((F.col("ent_type") == "ORG") & (F.col("cand_type") == "ORG"))
+        | ((F.col("ent_type") == "PER") & (F.col("cand_type") == "PER"))
+    )
+    df = df.filter(gate)
+    # F7 id dedup: first occurrence in retrieval order wins (linking.py:161-169)
+    w_id = Window.partitionBy("mid", "eid").orderBy("lucene_rank")
+    df = df.withColumn("_rid", F.row_number().over(w_id)).filter(F.col("_rid") == 1).drop("_rid")
+
+    name_low = F.lower(F.col("cand_name"))
+    score = (
+        F.when(name_low == F.col("ent_name"), 1.0)
+        .when(F.col("cand_name").isNotNull() & name_low.contains(F.col("ent_name")), 0.5)
+        .otherwise(0.0)  # linking.py:175-181
+        + F.when(F.col("cand_type") == F.col("ent_type"), 1.0).otherwise(0.0)  # :183-186
+        + F.when((F.col("info") != "") & (F.col("info_nfields") == 3), 1.0).otherwise(0.0)  # :188-191
+        + F.when(
+            F.col("ent_type").isin("GPE", "LOC") & (F.col("info") != ""),
+            F.when(F.split("info", "\t").getItem(1) == "country,state,region,...", 1.0).otherwise(0.0)
+            + F.when(F.split("info", "\t").getItem(0).isin("RU", "UA"), 1.0).otherwise(0.0)
+            + F.when(F.split("info", "\t").getItem(0).isin("US", "CA"), -0.5).otherwise(0.0),
+        ).otherwise(0.0)  # :194-202
+    )
+    df = df.withColumn("rule_score", score)
+    # singleton short-circuit (linking.py:170-171): single candidate skips
+    # scoring entirely; W5 keeps all candidates tied at the max otherwise.
+    w_m = Window.partitionBy("mid")
+    df = df.withColumn("_ncand", F.count("*").over(w_m)).withColumn(
+        "_max", F.max("rule_score").over(w_m)
+    )
+    return df.filter((F.col("_ncand") == 1) | (F.col("rule_score") == F.col("_max"))).drop("_max")
+
+
+def disambiguate(scored: DataFrame) -> DataFrame:
+    """linking.py:284-307 + 333-335: singleton -> confidence 1.0; otherwise
+    edit proximity (X6) + context IoU (I1, PER/ORG only; PER +1 for
+    Russia/Ukraine in info), normalized per mention (A7), ranked (W3)."""
+    edit = 1.0 / (F.abs(F.length("cand_name") - F.length("ent_name")) + 1)  # X6
+    info_toks = F.array_distinct(F.split(F.col("info"), r"\s+"))
+    ctx_toks = F.array_distinct(F.split(F.col("sent_ctx"), r"\s+"))
+    iou = F.size(F.array_intersect(info_toks, ctx_toks)) / F.size(F.array_union(info_toks, ctx_toks))
+    ctx = (
+        F.when(F.col("ent_type") == "PER",
+               iou * 5 + F.when(F.col("info").contains("Russia") | F.col("info").contains("Ukraine"), 1.0).otherwise(0.0))
+        .when(F.col("ent_type") == "ORG", iou * 5)
+        .otherwise(0.0)
+    )
+    df = scored.withColumn("raw_conf", edit + ctx)
+    w = Window.partitionBy("mid")
+    df = df.withColumn(
+        "confidence",
+        F.when(F.col("_ncand") == 1, 1.0).otherwise(
+            F.col("raw_conf") / F.sum("raw_conf").over(w)  # A7
+        ),
+    )
+    w_rank = Window.partitionBy("mid").orderBy(F.col("confidence").desc(), F.col("eid").asc())
+    return df.withColumn("rank", F.row_number().over(w_rank))
+
+
+# ------------------------------------------------------------------ temporary KB
+
+def tmpkb_seed(spark) -> DataFrame:
+    """The reference pre-registers MH17 and T-34 (linking.py:351-352)."""
+    return spark.createDataFrame(
+        [("MH17", "VEH"), ("T-34", "VEH")], "name string, type string"
+    ).withColumn("tmp_eid", _tmp_eid())
+
+
+def _tmp_eid():
+    """A6: deterministic id instead of the reference's mutable counter file
+    (linking.py:340-361) — parallel-safe, resume-safe, idempotent."""
+    return F.concat(F.lit("@"), F.substring(F.sha1(F.concat_ws("|", "name", "type")), 1, 12))
+
+
+def promote_nils(nil_queries: DataFrame) -> DataFrame:
+    """A1 (linking.py:469-475): count still-NIL mentions per (name, type3);
+    >= 5 become temporary-KB entities."""
+    return (
+        nil_queries.groupBy(F.col("ent_name").alias("name"), F.col("ent_type").alias("type"))
+        .agg(F.count("*").alias("nil_count"))
+        .filter(F.col("nil_count") >= TMPKB_PROMOTE_MIN)
+        .select("name", "type")
+        .withColumn("tmp_eid", _tmp_eid())
+    )
+
+
+def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
+    """J3 (linking.py:366-388): exact name match + type equality; confidence
+    = edit-proximity normalized per mention."""
+    hits = nil_queries.join(
+        F.broadcast(tmpkb),
+        (F.lower(tmpkb.name) == nil_queries.ent_name) & (tmpkb.type == nil_queries.ent_type),
+    )
+    edit = 1.0 / (F.abs(F.length("name") - F.length("ent_name")) + 1)
+    w = Window.partitionBy("mid")
+    w_rank = Window.partitionBy("mid").orderBy(F.col("confidence").desc(), F.col("tmp_eid").asc())
+    return (
+        hits.withColumn("raw_conf", edit)
+        .withColumn("confidence", F.col("raw_conf") / F.sum("raw_conf").over(w))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "url", "mid",
+            F.concat(F.lit("tmpkb:"), F.col("tmp_eid")).alias("eid"),
+            F.col("name").alias("cname"), "confidence", "rank",
+            F.lit(2).alias("subcomponent"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ full E2 plan
+
+def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Full E2: NAM mentions -> links (url, mid, eid, cname, confidence,
+    rank, subcomponent).  subcomponent: 0 exact, 1 fuzzy, 2 tmpkb.
+
+    Two-phase NIL handling mirrors linking.py:309-336 + 442-479: fuzzy
+    retries run only for mentions the exact pass left empty, with per-dist
+    budget min(5, len(name)//5); the temporary-KB pass runs only on what is
+    still NIL after that.
+    """
+    alias_table = build_alias_table(clean_kb(kb), aliases)
+    # localCheckpoint() = eager materialization + plan truncation: the fuzzy
+    # retry loop and the NIL passes re-derive from these, and without
+    # truncation the lazy plan stacks 5 window-heavy rounds (plan explosion).
+    queries = _nam_queries(mentions).localCheckpoint()
+
+    exact = disambiguate(
+        score_candidates(generate_candidates(queries, alias_table, 0), queries)
+    ).localCheckpoint()
+    exact_links = exact.select(
+        "url", "mid",
+        F.concat(F.lit("refkb:"), F.col("eid")).alias("eid"),
+        "cname", "confidence", "rank", F.lit(0).alias("subcomponent"),
+    )
+
+    linked_mids = exact.select("mid").distinct()
+    fuzzy_links = None
+    remaining = queries.join(linked_mids, "mid", "left_anti").localCheckpoint()
+    # retry budget: dist runs 1..min(5, len(ent_name)//5) (linking.py:320-322);
+    # stop as soon as nothing is eligible (cheap: `remaining` is materialized).
+    budget = F.least(F.lit(MAX_FUZZY_DIST), F.floor(F.length("ent_name") / 5))
+    max_budget = remaining.agg(F.max(budget).alias("b")).first()["b"] or 0
+    for dist in range(1, int(max_budget) + 1):
+        eligible = remaining.filter(budget >= dist)
+        hits = disambiguate(
+            score_candidates(generate_candidates(eligible, alias_table, dist), eligible)
+        ).localCheckpoint()
+        hit_links = hits.select(
+            "url", "mid",
+            F.concat(F.lit("refkb:"), F.col("eid")).alias("eid"),
+            "cname", "confidence", "rank", F.lit(1).alias("subcomponent"),
+        )
+        fuzzy_links = hit_links if fuzzy_links is None else fuzzy_links.unionByName(hit_links)
+        remaining = remaining.join(hits.select("mid").distinct(), "mid", "left_anti").localCheckpoint()
+        if remaining.limit(1).count() == 0:
+            break
+
+    nil_queries = remaining
+    tmpkb = tmpkb_seed(mentions.sparkSession).unionByName(promote_nils(nil_queries))
+    tmp_links = tmpkb_lookup(nil_queries, tmpkb)
+
+    out = exact_links
+    if fuzzy_links is not None:
+        out = out.unionByName(fuzzy_links)
+    return out.unionByName(tmp_links)

@@ -1,0 +1,476 @@
+"""Mention discovery (reference pipeline E1): pages -> typed mentions.
+
+Re-expresses ``code_ner_bert/main.py:run_document`` (main.py:64-290) as ONE
+``mapInPandas`` pass over the pages table: text extraction, sentence split,
+NAM/NOM/FIL tagging, dedup, and LDC type normalization all happen
+executor-side on Arrow batches — no shuffle until the mentions table exists.
+
+The reference's heavy taggers (CoreNLP server M1, BERT NER M2, BERT subtype
+M3 — SURVEY.md §2.8) are replaced by deterministic rule/gazetteer taggers
+behind the same batched interface, so a real model can drop into
+``_analyze_doc`` without changing the plan (BERT weights are not in the
+reference checkout either: .MISSING_LARGE_BLOBS).
+
+Semantics reproduced exactly (file:line cites into /root/reference):
+  - F1 lang gate                  document.py:187-191
+  - truncation 10k chars/200 sents document.py:203-204 (in textnorm)
+  - F2 stopword NAM drop          ner.py:8,345-346
+  - J4 gazetteer type override    gazetteer.py:76-99, ner.py:349-364
+  - J5 subtype hierarchy gate     ner.py:253-271,367-382
+  - NOM filters F3/F4 + W2 dedup  nominal.py:48-98
+  - F5 NAM/NOM dedup              main.py:84-98
+  - W1 filler overlap resolution  main.py:100-126
+  - J6 title validity             filler.py:36-43
+  - F9 is_url                     dictionary.py:8-23
+  - X5 LDC type normalization     main.py:134-244
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..fixtures import generator as G
+from ..functions.textnorm import (
+    extract_text,
+    reconstruct_doc,
+    split_sentences,
+    tokenize_with_offsets,
+)
+
+MENTION_SCHEMA = (
+    "url string, sid int, mid string, category string, mention string, "
+    "type string, coarse_type string, subtype string, subsubtype string, "
+    "char_begin int, char_end int, head_begin int, head_end int, "
+    "headword string, score double, sent_text string"
+)
+
+_DATE_WORDS = {
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+    "sunday", "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+}
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TIME_RE = re.compile(r"^\d{1,2}:\d{2}(:\d{2})?$")
+_NUM_RE = re.compile(r"^\d+(?:[.,]\d+)*$")
+_URLISH = ("http:", "https:", "://", "www.")
+
+_QUANTIFIERS = {"some", "many", "few", "several", "all", "most", "more", "less", "one"}
+_PRONOUNS = {"it", "he", "she", "they", "we", "i", "you", "who", "which", "them", "him"}
+_DETS = {"the", "a", "an", "this", "that", "these", "those", "its", "his", "her", "their", "our"}
+
+
+@dataclass
+class TaggerConfig:
+    """All dimension data the taggers need; default = fixture gazetteers.
+    At cluster scale this object is pickled into the mapInPandas closure
+    (equivalent of a broadcast variable — a few MB at most)."""
+
+    gaz_phrases: dict = field(default_factory=dict)  # tuple(tokens) -> (coarse, fine_or_None)
+    titles: set = field(default_factory=set)  # lowercased title phrases (tuples)
+    wordnet: dict = field(default_factory=dict)  # lemma -> (type, subtype, subsubtype)
+    ont_ids: list = field(default_factory=list)  # ldcOnt:* ids, scan order
+    nist_key: dict = field(default_factory=dict)
+    subtype_hierarchy: dict = field(default_factory=dict)
+    stopwords: set = field(default_factory=set)
+
+    @classmethod
+    def default(cls) -> "TaggerConfig":
+        phrases: dict = {}
+        for name, fine in G.GAZ_PER:
+            phrases[tuple(name.split())] = ("PER", fine)
+        for name, fine in G.GAZ_CITY:
+            phrases[tuple(name.split())] = ("GPE", fine)
+        for name in G.GAZ_ORG:
+            phrases[tuple(name.split())] = ("ORG", None)
+        for name in G.COUNTRIES:
+            phrases[tuple(name.split())] = ("GPE", None)
+        for name in G.WEAPONS:
+            phrases[tuple(name.split())] = ("WEA", None)
+        for name in G.LOCATIONS:
+            phrases[tuple(name.split())] = ("LOC", None)
+        return cls(
+            gaz_phrases=phrases,
+            titles={tuple(t.split()) for t in G.GAZ_TITLES},
+            wordnet={l: (t, s, ss) for l, t, s, ss in G.WORDNET_TYPES},
+            ont_ids=list(G.LDC_ENTITY_TYPES),
+            nist_key=dict(G.NIST_KEY),
+            subtype_hierarchy={k: set(v) for k, v in G.SUBTYPE_HIERARCHY.items()},
+            stopwords=set(G.STOPWORDS),
+        )
+
+
+# ------------------------------------------------------------------ X5
+
+def normalize_ldc_type(etype: str, subtype: str, subsubtype: str, ont_ids: list) -> str:
+    """LDC ontology normalization, exact scan semantics of main.py:155-180:
+    first matching ont id wins; branch order: known subsubtype > type+subtype
+    containment > subtype-only when type=='n/a' > VAL/TTL rewrite."""
+    if etype.startswith("ldc"):
+        return etype
+    t = etype.lower()
+    st = "." + (subtype or "n/a").lower()
+    sst = "." + (subsubtype or "n/a").lower()
+    for ont in ont_ids:
+        low = ont.lower()
+        if "n/a" not in sst:
+            if sst in low:
+                return ont
+        elif t in low and st in low:
+            return ont
+        elif t == "n/a":
+            if st in low:
+                return ont
+        elif st in (".n/a", ".na"):
+            if t in ("numerical", "url", "time"):
+                t = "val"
+            elif t == "title":
+                t = "ttl"
+            return "ldcOnt:" + t.upper()
+    return "ldcOnt:" + t.upper()
+
+
+def apply_nist_key(mention_text: str, cur_type: str, nist_key: dict) -> str:
+    """Keyword override: exactly one mention token in nist_key -> its type
+    (main.py:236-244)."""
+    hits = [nist_key[tok] for tok in mention_text.lower().split() if tok in nist_key]
+    return hits[0] if len(hits) == 1 else cur_type
+
+
+# ------------------------------------------------------------------ sentence taggers
+
+def _coarse_tags(tokens: list) -> list:
+    """M1-stub: coarse CoreNLP-like tags (DATE/TIME/NUMBER/PERCENT/O) per
+    token, deterministic regex rules."""
+    tags = []
+    for i, (tok, _b, _e) in enumerate(tokens):
+        low = tok.lower()
+        if low in _DATE_WORDS or _DATE_RE.match(tok):
+            tags.append("DATE")
+        elif _TIME_RE.match(tok):
+            tags.append("TIME")
+        elif _NUM_RE.match(tok):
+            nxt = tokens[i + 1][0] if i + 1 < len(tokens) else ""
+            tags.append("PERCENT" if nxt == "%" else "NUMBER")
+        else:
+            tags.append("O")
+    return tags
+
+
+def _match_phrases(tokens, claimed, phrase_dict, max_len=5):
+    """Longest-match scan of lowercased token n-grams against a phrase dict.
+    Yields (i, j, value) spans over unclaimed tokens."""
+    n = len(tokens)
+    i = 0
+    out = []
+    while i < n:
+        if claimed[i]:
+            i += 1
+            continue
+        hit = None
+        for l in range(min(max_len, n - i), 0, -1):
+            if any(claimed[i:i + l]):
+                continue
+            key = tuple(t[0].lower() for t in tokens[i:i + l])
+            if key in phrase_dict:
+                hit = (i, i + l, phrase_dict[key])
+                break
+        if hit:
+            out.append(hit)
+            for k in range(hit[0], hit[1]):
+                claimed[k] = True
+            i = hit[1]
+        else:
+            i += 1
+    return out
+
+
+def _extract_named(tokens, coarse, cfg: TaggerConfig):
+    """M2-stub + J4: gazetteer longest-match NAMs (score 0.9, fine types where
+    the gazetteer provides them — gazetteer.py:76-99) plus a capitalized-run
+    heuristic for unknown entities (score 0.6 = the reference's probability
+    floor, ner.py:327-329)."""
+    claimed = [c != "O" for c in coarse]  # date/time/number tokens can't be NAM
+    named = []
+    for i, j, (ctype, fine) in _match_phrases(tokens, claimed, cfg.gaz_phrases):
+        named.append((i, j, ctype, fine, 0.9))
+    # mark titles as claimed so heuristic runs don't swallow them
+    title_claimed = list(claimed)
+    _match_phrases(tokens, title_claimed, {t: None for t in cfg.titles})
+    i = 0
+    n = len(tokens)
+    while i < n:
+        tok = tokens[i][0]
+        if (
+            title_claimed[i]
+            or not tok[:1].isupper()
+            or not tok.replace("-", "").isalpha()
+            or tok.lower() in cfg.stopwords
+            or tok.lower() in cfg.wordnet
+        ):
+            i += 1
+            continue
+        j = i
+        while (
+            j < n
+            and not title_claimed[j]
+            and tokens[j][0][:1].isupper()
+            and tokens[j][0].replace("-", "").isalpha()
+            and tokens[j][0].lower() not in cfg.stopwords
+        ):
+            j += 1
+        if j > i and (i > 0 or j - i >= 2):
+            named.append((i, j, "PER", None, 0.6))
+            for k in range(i, j):
+                claimed[k] = True
+        i = max(j, i + 1)
+    return named, claimed
+
+
+def _extract_nominals(tokens, claimed, cfg: TaggerConfig):
+    """NOM extraction stub of nominal.py: NP = [det] + wordnet-typed noun;
+    F3 spurious filters (nominal.py:48-73), W2 head dedup (nominal.py:75-86),
+    F4 typed-only (nominal.py:97-98)."""
+    noms = []
+    seen_heads = {}
+    for idx, (tok, b, e) in enumerate(tokens):
+        low = tok.lower()
+        if claimed[idx] or low not in cfg.wordnet:
+            continue
+        if low in _QUANTIFIERS or low in _PRONOUNS or low == "%":
+            continue  # F3
+        start = idx
+        if idx > 0 and tokens[idx - 1][0].lower() in _DETS and not claimed[idx - 1]:
+            start = idx - 1
+        t, s, ss = cfg.wordnet[low]
+        span = (start, idx + 1, idx, t, s, ss)
+        # W2: one NP per head index, keep the largest span
+        prev = seen_heads.get(idx)
+        if prev is None or (span[1] - span[0]) > (prev[1] - prev[0]):
+            seen_heads[idx] = span
+    for span in seen_heads.values():
+        noms.append(span)
+    noms.sort(key=lambda x: x[0])
+    return noms
+
+
+def _extract_fillers(sent_text, tokens, coarse, cfg: TaggerConfig, has_per: bool):
+    """FIL extraction (filler.py): titles (J6: only if sentence has a PER,
+    filler.py:36-43), times/dates, numbers/percents, urls (F9,
+    dictionary.py:8-23).  Returns list of (text, begin, end, ftype)."""
+    fils = []
+    claimed = [False] * len(tokens)
+    if has_per:
+        for i, j, _ in _match_phrases(tokens, claimed, {t: None for t in cfg.titles}):
+            b, e = tokens[i][1], tokens[j - 1][2]
+            fils.append((sent_text[b:e], b, e, "TITLE"))
+    i = 0
+    while i < len(tokens):
+        tag = coarse[i]
+        if tag in ("DATE", "TIME"):
+            j = i
+            while j < len(tokens) and coarse[j] in ("DATE", "TIME"):
+                j += 1
+            b, e = tokens[i][1], tokens[j - 1][2]
+            fils.append((sent_text[b:e], b, e, "TIME"))
+            i = j
+        elif tag in ("NUMBER", "PERCENT"):
+            j = i + 1
+            e = tokens[i][2]
+            if tag == "PERCENT" and j < len(tokens) and tokens[j][0] == "%":
+                e = tokens[j][2]
+                j += 1
+            b = tokens[i][1]
+            fils.append((sent_text[b:e], b, e, "NUMERICAL"))
+            i = j
+        else:
+            i += 1
+    # F9 urls: whitespace chunks, not tokens (punctuation splits would shred them)
+    pos = 0
+    for chunk in sent_text.split(" "):
+        if chunk:
+            b = sent_text.index(chunk, pos)
+            if is_url(chunk):
+                fils.append((chunk, b, b + len(chunk), "URL"))
+            pos = b + len(chunk)
+    return fils
+
+
+def is_url(token: str) -> bool:
+    """F9 predicate (dictionary.py:8-23)."""
+    if len(token) > 30:
+        return True
+    if any(m in token for m in _URLISH):
+        return True
+    urlish = sum(1 for ch in token if ch in "/:.?&=#%_-~")
+    return urlish >= 5
+
+
+def resolve_filler_overlaps(fils: list) -> list:
+    """W1: the reference's exact pairwise containment walk (main.py:100-126):
+    sort by begin; duplicates (same text) skipped; containment keeps the
+    longer span; non-overlapping advance."""
+    fils = sorted(fils, key=lambda f: int(f[1]))
+    if len(fils) <= 1:
+        return fils
+    new = []
+    f_i, f_j = 0, 1
+    while f_i < len(fils) and f_j < len(fils):
+        a, b = fils[f_i], fils[f_j]
+        if a[0] == b[0]:
+            f_j += 1
+            continue
+        if a[0] in b[0] or b[0] in a[0]:
+            if a[2] - a[1] > b[2] - b[1]:
+                f_j += 1
+            else:
+                f_i = f_j
+                f_j += 1
+        else:
+            new.append(a)
+            f_i = f_j
+            f_j += 1
+    new.append(fils[f_i])
+    return new
+
+
+# ------------------------------------------------------------------ per-document analysis
+
+def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
+    """Full E1 per-document flow (main.py:64-290) as a pure function."""
+    doc = text if text else None
+    if doc is None:
+        from ..functions.textnorm import html_to_raw_text
+
+        doc = html_to_raw_text(html)
+    sents = split_sentences(doc)
+    _docstr, spans = reconstruct_doc(sents)
+    rows = []
+    kept = sents[: len(spans)]
+    for sid, (sent_raw, (s_begin, _s_end)) in enumerate(zip(kept, spans)):
+        sent = sent_raw.replace("%20", "___")
+        if sent and sent[-1].isalnum():
+            sent = sent + ";"
+        tokens = tokenize_with_offsets(sent)
+        if not tokens:
+            continue
+        coarse = _coarse_tags(tokens)
+        named, claimed = _extract_named(tokens, coarse, cfg)
+        # F2: stopword NAM drop (ner.py:345-346)
+        named = [
+            nm for nm in named
+            if " ".join(t[0].lower() for t in tokens[nm[0]:nm[1]]) not in cfg.stopwords
+        ]
+        noms = _extract_nominals(tokens, claimed, cfg)
+        # F5: NAM/NOM same (text, begin) -> drop NOM if its subtype is n/a,
+        # else drop the NAM (main.py:84-98)
+        nam_spans = {(tokens[i][1], " ".join(t[0] for t in tokens[i:j])): k for k, (i, j, *_r) in enumerate(named)}
+        drop_nam, drop_nom = set(), set()
+        for k, (i, j, hidx, t, s, ss) in enumerate(noms):
+            key = (tokens[i][1], " ".join(tk[0] for tk in tokens[i:j]))
+            if key in nam_spans:
+                if "n/a" in (s or "n/a"):
+                    drop_nom.add(k)
+                else:
+                    drop_nam.add(nam_spans[key])
+        named = [nm for k, nm in enumerate(named) if k not in drop_nam]
+        noms = [nm for k, nm in enumerate(noms) if k not in drop_nom]
+
+        has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
+        fils = _extract_fillers(sent, tokens, coarse, cfg, has_per)
+        fils = resolve_filler_overlaps(fils)
+
+        m_id = 0
+        for ftext, b, e, ftype in fils:
+            ont = normalize_ldc_type(ftype, "n/a", "n/a", cfg.ont_ids)
+            rows.append(
+                (url, sid, f"{url}#s{sid}#e{m_id}", "FIL", ftext, ont, ftype,
+                 "n/a", "n/a", s_begin + b, s_begin + e, s_begin + b,
+                 s_begin + e, ftext, 0.9, sent)
+            )
+            m_id += 1
+        for i, j, ctype, fine, score in named:
+            mtext = sent[tokens[i][1]:tokens[j - 1][2]]
+            sub = "n/a"
+            if fine:  # J5 gate: gazetteer fine type must respect the hierarchy
+                parts = fine.split(":", 1)[1].split(".")
+                if len(parts) > 1 and parts[1] in cfg.subtype_hierarchy.get(parts[0], set()):
+                    sub = parts[1]
+                else:
+                    fine = None
+            ont = fine or normalize_ldc_type(ctype, sub, "n/a", cfg.ont_ids)
+            ont = apply_nist_key(mtext, ont, cfg.nist_key)
+            rows.append(
+                (url, sid, f"{url}#s{sid}#e{m_id}", "NAM", mtext, ont, ctype,
+                 sub, "n/a", s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+                 s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+                 tokens[j - 1][0], score, sent)
+            )
+            m_id += 1
+        for i, j, hidx, t, s, ss in noms:
+            mtext = sent[tokens[i][1]:tokens[j - 1][2]]
+            ont = normalize_ldc_type(t, s, ss, cfg.ont_ids)
+            ont = apply_nist_key(mtext, ont, cfg.nist_key)
+            rows.append(
+                (url, sid, f"{url}#s{sid}#e{m_id}", "NOM", mtext, ont, t, s, ss,
+                 s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+                 s_begin + tokens[hidx][1], s_begin + tokens[hidx][2],
+                 tokens[hidx][0], 0.9, sent)
+            )
+            m_id += 1
+    return rows
+
+
+_COLS = [
+    "url", "sid", "mid", "category", "mention", "type", "coarse_type",
+    "subtype", "subsubtype", "char_begin", "char_end", "head_begin",
+    "head_end", "headword", "score", "sent_text",
+]
+
+
+def discover_mentions(pages: DataFrame, cfg: TaggerConfig | None = None) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) -> mentions DataFrame.
+
+    Single mapInPandas stage after the lang filter — the filter is pushed to
+    the scan (check `.explain()`: PushedFilters on lang), the tagger runs on
+    Arrow batches, nothing shuffles.
+    """
+    cfg = cfg or TaggerConfig.default()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                out.extend(_analyze_doc(url, html, text, cfg))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return (
+        pages.filter(F.col("lang") == "eng")  # F1, document.py:187-191
+        .select("url", "html", "text")
+        .mapInPandas(run, schema=MENTION_SCHEMA)
+    )
+
+
+def extract_text_df(pages: DataFrame) -> DataFrame:
+    """The byte-identity surface as a DataFrame: (url, text_extracted).
+    Golden-fixture tested; pure pandas UDF over Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "text_extracted": [
+                        extract_text(h, t) for h, t in zip(pdf["html"], pdf["text"])
+                    ],
+                }
+            )
+
+    return pages.select("url", "html", "text").mapInPandas(
+        run, schema="url string, text_extracted string"
+    )

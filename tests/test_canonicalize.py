@@ -1,0 +1,87 @@
+"""Connected components + cluster vote/election (SURVEY §2.10, A2, A3)."""
+
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.operators.canonicalize import (
+    cluster_link_vote,
+    cluster_mentions,
+    connected_components,
+    elect_best_mention,
+)
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    cc = {r["mid"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+    assert cc["a"] != cc["x"]
+
+
+def test_cluster_vote_argmax(spark):
+    clusters = spark.createDataFrame(
+        [("m1", "c1"), ("m2", "c1"), ("m3", "c1")], "mid string, cluster_id string"
+    )
+    links = spark.createDataFrame(
+        [
+            ("m1", "refkb:E1", "A", 0.6, 1),
+            ("m2", "refkb:E2", "B", 0.9, 1),
+            ("m3", "refkb:E1", "A", 0.5, 1),
+        ],
+        "mid string, eid string, cname string, confidence double, rank int",
+    )
+    # sum votes: E1=1.1 > E2=0.9 -> all members re-linked to E1 (linking.py:667-690)
+    out = cluster_link_vote(clusters, links).collect()
+    assert {r["mid"] for r in out} == {"m1", "m2", "m3"}
+    assert {r["eid"] for r in out} == {"refkb:E1"}
+
+
+def test_election_tie_breaks_longer(spark):
+    clusters = spark.createDataFrame(
+        [("m1", "c1"), ("m2", "c1"), ("m3", "c1"), ("m4", "c1")],
+        "mid string, cluster_id string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "NAM", "Zorylenko", "PER"),
+            ("m2", "NAM", "Zorylenko", "PER"),
+            ("m3", "NAM", "Commander Zorylenko", "PER"),
+            ("m4", "NAM", "Commander Zorylenko", "PER"),
+        ],
+        "mid string, category string, mention string, coarse_type string",
+    )
+    # tie on count (2 vs 2) -> longer string wins (linking.py:624-653)
+    out = elect_best_mention(clusters, mentions).collect()
+    assert out[0]["best_mention"] == "Commander Zorylenko"
+
+
+def test_cluster_mentions_same_text_same_cluster(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "NAM", "Kyiv", "GPE"),
+            ("m2", "NAM", "kyiv", "GPE"),
+            ("m3", "NAM", "Moscow", "GPE"),
+        ],
+        "mid string, category string, mention string, coarse_type string",
+    )
+    links = spark.createDataFrame(
+        [], "mid string, eid string, cname string, confidence double, rank int"
+    )
+    cc = {r["mid"]: r["cluster_id"] for r in cluster_mentions(mentions, links).collect()}
+    assert cc["m1"] == cc["m2"]
+    assert cc["m3"] != cc["m1"]
+
+
+def test_same_eid_links_merge_clusters(spark):
+    mentions = spark.createDataFrame(
+        [("m1", "NAM", "Kiev", "GPE"), ("m2", "NAM", "Kyiv", "GPE")],
+        "mid string, category string, mention string, coarse_type string",
+    )
+    links = spark.createDataFrame(
+        [("m1", "refkb:E0", "Kyiv", 1.0, 1), ("m2", "refkb:E0", "Kyiv", 1.0, 1)],
+        "mid string, eid string, cname string, confidence double, rank int",
+    )
+    cc = {r["mid"]: r["cluster_id"] for r in cluster_mentions(mentions, links).collect()}
+    assert cc["m1"] == cc["m2"]

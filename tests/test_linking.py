@@ -1,0 +1,128 @@
+"""Linking semantics: scoring arithmetic of linking.py:150-213 + 284-307."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs, pages_df
+from named_entity_discovery_and_linking_spark.operators.linking import (
+    build_alias_table,
+    clean_kb,
+    disambiguate,
+    generate_candidates,
+    link_mentions,
+    promote_nils,
+    score_candidates,
+)
+from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+
+
+@pytest.fixture(scope="module")
+def kb(spark):
+    e, a = kb_dfs(spark)
+    return e, a
+
+
+@pytest.fixture(scope="module")
+def alias_table(spark, kb):
+    e, a = kb
+    return build_alias_table(clean_kb(e), a).cache()
+
+
+def mk_queries(spark, rows):
+    df = spark.createDataFrame(
+        rows, "url string, mid string, ent_name string, ent_type string, sent_text string"
+    )
+    return (
+        df.withColumn("sent_ctx", F.lower("sent_text"))
+        .withColumn("q_tokens", F.expr(r"array_distinct(filter(split(ent_name, '[^\\p{L}\\p{N}]+'), t -> t != ''))"))
+        .withColumn("n_q", F.size("q_tokens"))
+    )
+
+
+def test_kb_cleaning(spark, kb):
+    e, _ = kb
+    cleaned = clean_kb(e)
+    # duplicate eid dropped (linking.py:34-36)
+    assert cleaned.count() == cleaned.select("eid").distinct().count()
+    # GEO non-RU/UA with empty wiki dropped (linking.py:37-41)
+    bad = cleaned.filter(
+        (F.col("src") == "GEO") & ~F.col("country").isin("RU", "UA") & (F.col("wiki") == "")
+    )
+    assert bad.count() == 0
+
+
+def test_and_semantics_candidate_gen(spark, alias_table):
+    # 'donetsk' matches both Donetsk and Donetsk Oblast; 'donetsk oblast'
+    # matches only the oblast (AND of terms, linking.py:105-112)
+    q = mk_queries(spark, [("u", "m1", "donetsk", "GPE", "x"), ("u", "m2", "donetsk oblast", "GPE", "x")])
+    c = generate_candidates(q, alias_table, 0)
+    names_m1 = {r["cand_name"] for r in c.filter("mid='m1'").collect()}
+    names_m2 = {r["cand_name"] for r in c.filter("mid='m2'").collect()}
+    assert "Donetsk" in names_m1 and any("Oblast" in n for n in names_m1)
+    assert names_m2 == {"Donetsk Oblast"}
+
+
+def test_rule_scores_exact_arithmetic(spark, alias_table):
+    """Hand-computed replication of linking.py:175-202 for 'moscow' GPE:
+    RU Moscow: exact 1 + type 1 + info3 1 + RU 1       = 4.0
+    US Moscow: exact 1 + type 1 + info3 1 + US -0.5    = 2.5
+    -> W5 keeps only the RU row."""
+    q = mk_queries(spark, [("u", "m1", "moscow", "GPE", "troops near moscow")])
+    scored = score_candidates(generate_candidates(q, alias_table, 0), q)
+    rows = {r["cand_name"] + "/" + (r["info"].split("\t")[0]): r["rule_score"] for r in scored.collect()}
+    assert rows == {"Moscow/RU": 4.0}
+
+
+def test_singleton_confidence_one(spark, alias_table):
+    # mariupol has exactly one candidate -> confidence 1.0 (linking.py:333-335)
+    q = mk_queries(spark, [("u", "m1", "mariupol", "GPE", "x")])
+    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q))
+    rows = d.collect()
+    assert len(rows) == 1 and rows[0]["confidence"] == 1.0
+
+
+def test_confidence_normalization_sums_to_one(spark, alias_table):
+    # odessa: UA + US survive W5? UA: 1+1+1+1=4, US: 1+1+1-0.5=2.5, CA cleaned out
+    # -> singleton again; use a tie-producing query instead: viktor marchenko PER
+    q = mk_queries(spark, [("u", "m1", "viktor marchenko", "PER", "viktor marchenko in kyiv")])
+    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q))
+    rows = d.collect()
+    if len(rows) > 1:
+        assert abs(sum(r["confidence"] for r in rows) - 1.0) < 1e-9  # A7
+        # context IoU x5 must prefer the Ukraine politician (linking.py:288-293)
+        best = min(rows, key=lambda r: r["rank"])
+        assert "Ukraine" in best["info"]
+
+
+def test_fuzzy_retry_budget(spark, alias_table):
+    # 'kramatorskk' (len 11 -> budget min(5,2)=2): dist-1 match to Kramatorsk
+    q = mk_queries(spark, [("u", "m1", "kramatorskk", "GPE", "x")])
+    c = generate_candidates(q, alias_table, 1)
+    assert {r["cname"] for r in c.collect()} == {"Kramatorsk"}
+    # 'kyi' (len 3 -> budget 0): exact gen finds nothing, fuzzy never runs
+    q2 = mk_queries(spark, [("u", "m2", "kyi", "GPE", "x")])
+    assert generate_candidates(q2, alias_table, 0).count() == 0
+
+
+def test_nil_promotion_threshold(spark):
+    rows = [("u%d" % i, "m%d" % i, "zorylenko", "PER", "x") for i in range(5)]
+    rows += [("u9", "m9", "rare name", "PER", "x")]
+    nils = mk_queries(spark, rows)
+    promoted = promote_nils(nils)
+    out = promoted.collect()
+    assert len(out) == 1 and out[0]["name"] == "zorylenko"  # >=5 only (linking.py:473-475)
+    # deterministic id (A6 deviation: sha1, not counter)
+    again = {r["tmp_eid"] for r in promote_nils(nils).collect()}
+    assert again == {out[0]["tmp_eid"]}
+
+
+def test_link_mentions_end_to_end_deterministic(spark, kb):
+    e, a = kb
+    pages = pages_df(spark, n_pages=25)
+    m = discover_mentions(pages).localCheckpoint()
+    l1 = sorted(map(tuple, link_mentions(m, e, a).filter("rank=1").collect()))
+    l2 = sorted(map(tuple, link_mentions(m.repartition(11), e, a).filter("rank=1").collect()))
+    assert l1 == l2
+    assert len(l1) > 0
+    # every linked eid is prefixed (linking.py:405-407)
+    assert all(r[2].startswith(("refkb:", "tmpkb:")) for r in l1)
