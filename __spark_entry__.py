@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  : flagship KG-construction query at sf0.001 — documents-derived
+                pages -> mention discovery -> entity linking -> triples.
+queries()     : one entry per implemented operator family from SURVEY.md §2
+                plus the training-data-pipeline operators (dedup, similarity,
+                text stats).  Each callable takes (spark, sf_dir).
+oracle_sql()  : DuckDB-executable ANSI SQL equivalents, column-name aligned.
+                kg_mentions / kg_triples intentionally have no oracle (the
+                mapInPandas tagger and iterative connected components are not
+                SQL-expressible) -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship(spark: SparkSession) -> None:
+    from named_entity_discovery_and_linking_spark.session import _ship_package
+
+    _ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: KG triples end-to-end."""
+    _ship(spark)
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import q_kg_triples
+
+    return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

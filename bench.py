@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+Each query is materialized with the noop sink (full compute, no driver
+collect).  The flagship kg_triples measures linked-triples/sec — the
+BASELINE.json target metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kg_triples",          # flagship: full KG pipeline
+    "kg_mentions",
+    "tokenize",
+    "term_frequency",
+    "lineitem_agg",
+    "broadcast_join_agg",
+    "conf_normalize",
+    "top1_per_group",
+    "cluster_vote",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash",
+    "simhash",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from named_entity_discovery_and_linking_spark.session import get_spark
+    from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
+
+    spark = get_spark(
+        "ndl-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times = {}
+    for name in HEADLINE:
+        fn = DQ.QUERIES[name]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # triples/sec: count once (cached timing above measured pure pipeline)
+    t0 = time.time()
+    n_triples = DQ.QUERIES["kg_triples"](spark, sf_dir).count()
+    triple_sec = time.time() - t0
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / triple_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

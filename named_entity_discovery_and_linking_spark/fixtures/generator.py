@@ -348,10 +348,12 @@ def kb_dfs(spark, seed: int = 42):
     """(kb_entities, kb_aliases) DataFrames, pre-cleaning."""
     rng = random.Random(seed + 1)
     ents, aliases = _mk_kb(rng)
+    # tiny dimension tables: 2 partitions, not default_parallelism — per-task
+    # scheduling overhead dominates otherwise (they get broadcast anyway)
     e = spark.createDataFrame(
         ents, "src string, type string, eid string, name string, country string, feature string, wiki string"
-    )
-    a = spark.createDataFrame(aliases, "eid string, alias string")
+    ).coalesce(2)
+    a = spark.createDataFrame(aliases, "eid string, alias string").coalesce(2)
     return e, a
 
 

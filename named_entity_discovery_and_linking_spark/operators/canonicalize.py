@@ -56,48 +56,86 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     Rounds are localCheckpoint()ed (plan truncation) — the iterative-join
     pitfall called out in SURVEY.md §7.
     """
-    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("mid"))
         .union(sym.select(F.col("dst").alias("mid")))
         .distinct()
         .withColumn("label", F.col("mid"))
+        .localCheckpoint()
     )
-    labels = labels.localCheckpoint()
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("mid", "dst2"), sym.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the change flag inside the checkpointed frame: one job per
+        # round (materialize) + an occasional cheap scan (convergence check)
         new_labels = (
             labels.join(neighbor_min, labels.mid == neighbor_min.src, "left")
             .select(
                 "mid",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("mid", F.col("new_label").alias("label"))
+        # star-shaped edge construction converges in a handful of rounds;
+        # checking every round costs a job, so probe on odd rounds only
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            if new_labels.filter(F.col("new_label") != F.col("old_label")).limit(1).count() == 0:
+                break
     return labels.select("mid", F.col("label").alias("cluster_id"))
 
 
 def cluster_mentions(mentions: DataFrame, links: DataFrame) -> DataFrame:
-    """(mid, cluster_id) for every NAM mention; singletons keep their own id."""
-    cc = connected_components(mention_edges(mentions, links))
-    nam = mentions.filter(F.col("category") == "NAM").select("mid")
-    return nam.join(cc, "mid", "left").select(
-        "mid", F.coalesce("cluster_id", F.col("mid")).alias("cluster_id")
+    """(mid, cluster_id) for every NAM mention; singletons keep their own id.
+
+    Two-level contraction: mentions belong to at most two equivalence groups
+    — g1 = (normalized text, type), g2 = linked eid.  Each group elects a
+    root (min mid); the iterative CC then runs on the CONTRACTED graph of
+    distinct (root1, root2) pairs, which is orders of magnitude smaller than
+    the mention graph (the mega-entity skew guard: a 10M-mention entity
+    contributes ONE contracted node, not 10M edge endpoints).  Mentions are
+    mapped back with a broadcast join.  cluster_id remains the min mid of
+    the component, so results are identical to running CC on the full graph.
+    """
+    nam = mentions.filter(F.col("category") == "NAM").select(
+        "mid", F.lower(F.col("mention")).alias("name_norm"), "coarse_type"
     )
+    top_links = links.filter(F.col("rank") == 1).select("mid", "eid")
+
+    w1 = Window.partitionBy("name_norm", "coarse_type")
+    with_r1 = nam.withColumn("r1", F.min("mid").over(w1))
+    w2 = Window.partitionBy("eid")
+    link_r2 = top_links.withColumn("r2", F.min("mid").over(w2)).select("mid", "r2")
+    m = with_r1.join(link_r2, "mid", "left")
+
+    contracted = (
+        m.filter(F.col("r2").isNotNull() & (F.col("r1") != F.col("r2")))
+        .select(F.col("r1").alias("src"), F.col("r2").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(contracted)  # tiny: one node per group root
+    mapped = (
+        m.join(F.broadcast(comp.withColumnRenamed("mid", "r1")), "r1", "left")
+        .withColumn("c1", F.coalesce("cluster_id", "r1"))
+        .drop("cluster_id")
+        .join(
+            F.broadcast(comp.selectExpr("mid as r2", "cluster_id as c2")), "r2", "left"
+        )
+        .withColumn(
+            "cluster_id",
+            F.least(F.col("c1"), F.coalesce(F.col("c2"), F.col("c1"), F.col("r2"))),
+        )
+    )
+    return mapped.select("mid", F.coalesce("cluster_id", "mid").alias("cluster_id"))
 
 
 def cluster_link_vote(clusters: DataFrame, links: DataFrame) -> DataFrame:

@@ -1,0 +1,173 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Beyond the reference's operator set (the task brief's training-data-pipeline
+requirements): exact dedup, n-gram Jaccard, MinHash+LSH, SimHash.  All are
+pure Column expressions over the portable md5-derived hash family
+(functions/hashing.py) so a DuckDB oracle can replicate them bit-for-bit.
+
+Scale notes:
+- exact dedup is a single hash-groupBy (map-side combinable);
+- Jaccard/minhash candidate pairs join on *shingle* or *band* keys, never
+  doc x doc — the classic blowup guard; band width tunes recall vs cost;
+- at 100 TB the shingle join would be bucketed on the shingle hash; here AQE
+  handles it (skewed shingles get split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash, seeded_hash
+
+SIMHASH_BITS = 16
+MINHASH_HASHES = 12
+MINHASH_BANDS = 4  # rows per band = 12/4 = 3
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array<string> Column."""
+    ts = tokens_col(text_col)
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(ts, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ts)))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (content_hash, keep_id, dup_count).
+    keep_id = min id in the group (the canonical survivor)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-shingle Jaccard >= threshold.
+
+    Relational formulation (no doc x doc cross join): explode distinct
+    shingles, self-join on the shingle, count shared, Jaccard from
+    inclusion-exclusion.  Returns (doc_a, doc_b, jaccard)."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES, n: int = 3,
+) -> DataFrame:
+    """(doc, mh_0..mh_{k-1}) MinHash signature columns over n-gram shingles."""
+    sh = F.array_distinct(shingles_col(text_col, n))
+    out = df.select(F.col(id_col).alias("doc"), sh.alias("shingles"))
+    for i in range(num_hashes):
+        out = out.withColumn(
+            f"mh_{i}",
+            F.array_min(F.transform(F.col("shingles"), lambda t, i=i: seeded_hash(t, i))),
+        )
+    return out.drop("shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
+    text_col: str = "text", num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS, n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs collide on at least one band
+    (rows-per-band consecutive minhashes equal), then verified with exact
+    shingle Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard)."""
+    rows = num_hashes // bands
+    # localCheckpoint: the signature (12 md5 array scans per doc) would
+    # otherwise be recomputed once per band branch and once per join side —
+    # an 8x blowup observed at sf0.1.  The checkpointed table is tiny
+    # (one row per doc).
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).localCheckpoint()
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select("doc", F.explode(band_keys).alias("band_key"))
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc") < F.col("y.doc")))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to the candidate pairs (never
+    # re-derive all overlapping pairs — that defeats the point of LSH);
+    # checkpointed because it feeds both sides of the pair join:
+    sh = _doc_shingles(df, id_col, text_col, n).localCheckpoint()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("b_doc"), F.col("sh").alias("sh_b"))
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens: bit i of the fingerprint is 1 iff the
+    majority of token hashes have bit i set.  (doc, simhash bigint).
+
+    Explode + groupBy formulation: partial aggregation happens map-side, so
+    the shuffle carries one row per (doc) — scales linearly."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("w")
+    ).select("doc", portable_hash(F.col("w")).alias("h"))
+    sums = tok.groupBy("doc").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,59 @@
+"""N vs 4N scaling benchmark (sandbox proxy for executor scaling per
+BASELINE.json north_rule: throughput scaling efficiency >= 0.8 from N to 4N).
+
+Runs the flagship KG pipeline (kg_triples) at local[N] and local[4N] in
+separate subprocesses (fresh JVM each) on the same input and reports
+throughput at both plus efficiency = (t_N / t_4N) / 4.
+
+Usage: python scripts/bench_scaling.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+from named_entity_discovery_and_linking_spark.session import get_spark
+from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
+spark = get_spark("scale-bench", master=f"local[{{cpus}}]", shuffle_partitions=2*cpus,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+# warm up JVM/codegen on a prefix so we measure steady-state compute
+DQ.QUERIES["kg_mentions"](spark, sf_dir).limit(100).count()
+t0 = time.time()
+n = DQ.QUERIES["kg_triples"](spark, sf_dir).count()
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "sec": round(dt, 2), "triples": n,
+                   "triples_per_sec": round(n / dt, 1)}}))
+"""
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = CHILD.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), sf_dir],
+        capture_output=True, text=True, timeout=1200,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    lo = run(n, sf_dir)
+    hi = run(4 * n, sf_dir)
+    eff = round(lo["sec"] / hi["sec"] / 4, 3)
+    result = {"N": lo, "4N": hi, "scaling_efficiency": eff, "sf": sf_dir}
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
