@@ -183,56 +183,84 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     Returns candidates with a ``d_star`` column; F6 gate + min-d* filter
     applied; capped at top-100 per mention (linking.py:112).
     """
+    _CAND_COLS = [
+        "mid", "n_q", "alias_id", "eid", "cand_name", "cname", "cand_type",
+        "info", "info_nfields", "n_tokens", "d_star", "lucene_rank",
+    ]
+    # slim token index for the joins; full attributes rejoined (broadcast)
+    # only AFTER rollup + gate + cap, so every shuffle carries narrow rows —
+    # grouping on the 12-attribute composite was 3-4x slower at bench scale
+    attrs = alias_table.select(
+        "alias_id", "eid", "cand_name", "cname", "cand_type", "info",
+        "info_nfields", "n_tokens",
+    )
+    a_tok = alias_table.select(
+        "alias_id", F.col("cand_type").alias("a_type"), "n_tokens",
+        F.explode("tokens").alias("a_tok"),
+    )
+    a_gate = (
+        (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("a_type").isin("GPE", "LOC"))
+        | ((F.col("ent_type") == "ORG") & (F.col("a_type") == "ORG"))
+        | ((F.col("ent_type") == "PER") & (F.col("a_type") == "PER"))
+    )
+
+    def _cap(gated):
+        w = Window.partitionBy("mid").orderBy(F.col("n_tokens").asc(), F.col("alias_id").asc())
+        return (
+            gated.withColumn("lucene_rank", F.row_number().over(w))
+            .filter(F.col("lucene_rank") <= TOP_K_CANDIDATES)  # W4
+            .join(F.broadcast(attrs.drop("n_tokens")), "alias_id")
+            .select(*_CAND_COLS)
+        )
+
     q_tok = queries.select(
         "mid", "n_q", "ent_type",
         F.least(F.lit(max_dist), F.floor(F.length("ent_name") / 5)).cast("int").alias("budget"),
         F.explode("q_tokens").alias("q_tok"),
     )
-    a_tok = alias_table.select(
-        "alias_id", "eid", "cand_name", "cname", "cand_type", "info",
-        "info_nfields", "n_tokens", F.explode("tokens").alias("a_tok"),
+
+    # Phase 1 — exact retrieval as a broadcast HASH join on the token (the
+    # hot path; a nested-loop fuzzy join over all mentions costs
+    # |q_tokens| x |alias_tokens| levenshteins — measured 368M at bench
+    # scale).  The F6 type gate rides the join condition so gated-out
+    # candidates never reach the shuffle.
+    exact = (
+        q_tok.join(F.broadcast(a_tok), (q_tok.q_tok == a_tok.a_tok) & a_gate)
+        .groupBy("mid", "n_q", "alias_id", "n_tokens")
+        .agg(F.countDistinct("q_tok").alias("n_matched"))
+        .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
+        .withColumn("d_star", F.lit(0))
+    )
+    exact_gated = _cap(exact).localCheckpoint()
+
+    # Phase 2 — fuzzy retrieval ONLY for mentions whose gated exact set is
+    # empty (linking.py:319-329), folding all retry distances into one pass:
+    #   d*(cand) = max over q tokens of min lev; keep candidates at the
+    #   per-mention min d* (equivalent to "first non-empty dist wins")
+    nil1 = q_tok.join(exact_gated.select("mid").distinct(), "mid", "left_anti").filter(
+        F.col("budget") >= 1
     )
     lev = F.levenshtein(F.col("q_tok"), F.col("a_tok"))
     cond = (
-        (F.length("a_tok") >= F.length("q_tok") - F.greatest(F.col("budget"), F.lit(0)))
-        & (F.length("a_tok") <= F.length("q_tok") + F.greatest(F.col("budget"), F.lit(0)))
-        & ((lev == 0) | (lev <= F.col("budget")))
+        a_gate
+        & (F.length("a_tok") >= F.length("q_tok") - F.col("budget"))
+        & (F.length("a_tok") <= F.length("q_tok") + F.col("budget"))
+        & (lev <= F.col("budget"))
     )
-    pairs = q_tok.join(F.broadcast(a_tok), cond).withColumn("lev", lev)
-    per_tok = pairs.groupBy(
-        "mid", "n_q", "budget", "ent_type", "alias_id", "eid", "cand_name",
-        "cname", "cand_type", "info", "info_nfields", "n_tokens", "q_tok",
+    fuzzy_pairs = nil1.join(F.broadcast(a_tok), cond).withColumn("lev", lev)
+    per_tok = fuzzy_pairs.groupBy(
+        "mid", "n_q", "budget", "alias_id", "n_tokens", "q_tok"
     ).agg(F.min("lev").alias("min_lev"))
-    cands = (
-        per_tok.groupBy(
-            "mid", "n_q", "budget", "ent_type", "alias_id", "eid", "cand_name",
-            "cname", "cand_type", "info", "info_nfields", "n_tokens",
-        )
+    fuzzy = (
+        per_tok.groupBy("mid", "n_q", "budget", "alias_id", "n_tokens")
         .agg(F.count("*").alias("n_matched"), F.max("min_lev").alias("d_star"))
-        .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
-        .filter((F.col("d_star") == 0) | (F.col("d_star") <= F.col("budget")))
+        .filter((F.col("n_matched") == F.col("n_q")) & (F.col("d_star") <= F.col("budget")))
     )
-    # F6 type gate BEFORE the min-d* election: the reference gates each
-    # round's retrieval, so an all-gated-out dist falls through to the next
-    gate = (
-        (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
-        | ((F.col("ent_type") == "ORG") & (F.col("cand_type") == "ORG"))
-        | ((F.col("ent_type") == "PER") & (F.col("cand_type") == "PER"))
-    )
-    gated = cands.filter(gate)
     w_m = Window.partitionBy("mid")
-    gated = gated.withColumn("d_min", F.min("d_star").over(w_m)).filter(
+    fuzzy = fuzzy.withColumn("d_min", F.min("d_star").over(w_m)).filter(
         F.col("d_star") == F.col("d_min")
     )
-    w = Window.partitionBy("mid").orderBy(F.col("n_tokens").asc(), F.col("alias_id").asc())
-    return (
-        gated.withColumn("lucene_rank", F.row_number().over(w))
-        .filter(F.col("lucene_rank") <= TOP_K_CANDIDATES)  # W4
-        .select(
-            "mid", "n_q", "alias_id", "eid", "cand_name", "cname", "cand_type",
-            "info", "info_nfields", "n_tokens", "d_star", "lucene_rank",
-        )
-    )
+    return exact_gated.unionByName(_cap(fuzzy))
 
 
 # ------------------------------------------------------------------ scoring

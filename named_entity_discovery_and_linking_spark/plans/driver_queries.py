@@ -390,12 +390,26 @@ def q_ann_lsh_bucket(spark, sf_dir):
 
 # ---------------------------------------------------- rows-only KG stages
 
-def derived_pages(spark, sf_dir):
+def derived_pages(spark, sf_dir, replicate: int = 1):
     """Deterministic pages table derived from the driver's documents table:
     each doc contributes its text plus an entity sentence chosen by doc_id —
-    no external data, fully reproducible (task-brief requirement)."""
+    no external data, fully reproducible (task-brief requirement).
+
+    ``replicate`` fans each document out r times (distinct urls, rotated
+    entity sentences) — used by the scaling benchmark to reach a
+    compute-bound corpus size where parallel efficiency is measurable
+    (at 5k docs the pipeline is scheduler-overhead-bound and local[32]
+    is no faster than local[8])."""
     from ..fixtures.generator import GAZ_CITY, GAZ_ORG, GAZ_PER
 
+    docs = _docs(spark, sf_dir)
+    if replicate > 1:
+        docs = (
+            docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
+            .drop("rep")
+            .repartition(spark.sparkContext.defaultParallelism * 2, F.col("doc_id"))
+        )
     pers = [n.title() for n, _ in GAZ_PER]
     cities = [n.title() for n, _ in GAZ_CITY]
     orgs = [o.title() for o in GAZ_ORG]
@@ -403,7 +417,7 @@ def derived_pages(spark, sf_dir):
     city = F.element_at(F.array(*[F.lit(c) for c in cities]), (F.col("doc_id") % len(cities) + 1).cast("int"))
     org = F.element_at(F.array(*[F.lit(o) for o in orgs]), (F.col("doc_id") % len(orgs) + 1).cast("int"))
     sent = F.concat(per, F.lit(" of "), org, F.lit(" visited "), city, F.lit(" ."))
-    return _docs(spark, sf_dir).select(
+    return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
@@ -418,17 +432,23 @@ def q_kg_mentions(spark, sf_dir):
     return discover_mentions(derived_pages(spark, sf_dir))
 
 
-def q_kg_triples(spark, sf_dir):
+def kg_pipeline(spark, sf_dir, replicate: int = 1):
+    """Full KG pipeline (E1+E2+E3) over documents-derived pages; returns the
+    triples DataFrame.  ``replicate`` scales the corpus for benchmarking."""
     from ..fixtures.generator import kb_dfs
     from ..operators.linking import link_mentions
     from ..operators.mentions import discover_mentions
     from .graph import build_graph
 
-    pages = derived_pages(spark, sf_dir)
+    pages = derived_pages(spark, sf_dir, replicate)
     kb, al = kb_dfs(spark)
     m = discover_mentions(pages).localCheckpoint()
     links = link_mentions(m, kb, al).localCheckpoint()
     return build_graph(m, links)[0]
+
+
+def q_kg_triples(spark, sf_dir):
+    return kg_pipeline(spark, sf_dir, 1)
 
 
 # --------------------------------------------------------------- SQL oracles

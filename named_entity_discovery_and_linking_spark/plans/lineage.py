@@ -1,0 +1,97 @@
+"""Per-partition lineage + resume (north_rule: "checkpointed, per-partition
+lineage so a killed job resumes without recomputing completed partitions").
+
+The unit of work is a url-hash BUCKET (sources/io.py:bucketize — the salted
+repartition key).  For each (bucket, stage) the runner:
+
+  1. checks the lineage table: bucket already 'done' for this stage -> skip;
+  2. computes the stage ONLY for pending buckets;
+  3. writes output partitioned by bucket with dynamic partition overwrite
+     (idempotent: a re-run of a bucket replaces exactly that bucket);
+  4. appends (bucket, stage, status='done', n_rows) to the lineage table.
+
+Crash-safety argument: output-then-lineage ordering means a crash between
+(3) and (4) leaves the bucket marked pending; the re-run overwrites the
+bucket's output in place (no duplicates) and then marks it done.  The
+reference's only resume state was the tmp-KB counter file
+(linking.py:340-349) — a killed run redid everything.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import bucketize, write_table
+
+LINEAGE_SCHEMA = "bucket int, stage string, status string, n_rows long, run_id string"
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    if not os.path.exists(lineage_dir):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    try:
+        return spark.read.parquet(lineage_dir)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str, stage: str) -> list[int]:
+    lin = read_lineage(spark, lineage_dir)
+    return [
+        r["bucket"]
+        for r in lin.filter((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("bucket").distinct().collect()
+    ]
+
+
+def mark_done(spark: SparkSession, lineage_dir: str, stage: str,
+              bucket_counts: dict[int, int], run_id: str) -> None:
+    rows = [(b, stage, "done", int(n), run_id) for b, n in bucket_counts.items()]
+    if rows:
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(lineage_dir)
+
+
+def run_stage(
+    spark: SparkSession,
+    pages: DataFrame,
+    stage: str,
+    transform,
+    out_dir: str,
+    lineage_dir: str,
+    n_buckets: int = 16,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Run ``transform(pages_subset) -> DataFrame`` bucket-incrementally.
+
+    Returns the full stage output (pre-existing buckets read from disk,
+    union'd with freshly computed ones).  ``transform`` must be a pure
+    function of its input rows (bucket-local), which holds for mention
+    discovery; cross-bucket stages (canonicalization) run AFTER the
+    bucket-resumable stages on their materialized outputs.
+    """
+    run_id = run_id or f"run-{int(time.time())}"
+    bucketed = bucketize(pages, "url", n_buckets)
+    done = set(completed_buckets(spark, lineage_dir, stage))
+    pending = bucketed.filter(~F.col("bucket").isin(list(done)) if done else F.lit(True))
+
+    out_path = os.path.join(out_dir, stage)
+    if pending.limit(1).count() > 0:
+        result = transform(pending)
+        if "bucket" not in result.columns:
+            result = bucketize(result, "url", n_buckets)
+        result = result.localCheckpoint()
+        write_table(result, out_path, partition_by=["bucket"], mode="overwrite")
+        counts = {
+            r["bucket"]: r["n"]
+            for r in result.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        # buckets that produced zero rows still count as completed
+        pending_ids = {r["bucket"] for r in pending.select("bucket").distinct().collect()}
+        for b in pending_ids:
+            counts.setdefault(b, 0)
+        mark_done(spark, lineage_dir, stage, counts, run_id)
+    return spark.read.parquet(out_path) if os.path.exists(out_path) else pending.limit(0)

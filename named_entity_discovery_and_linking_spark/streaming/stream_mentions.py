@@ -1,0 +1,78 @@
+"""Structured Streaming variants of the discovery stage (SURVEY.md §2.9).
+
+The reference has NO streaming — its corpus is a static directory processed
+in one pass (main.py:341-342).  A web-scale ingestion pipeline does:
+pages arrive continuously (file/Kafka source), mentions are extracted
+incrementally, and rolling windowed statistics feed monitoring.
+
+Everything here reuses the exact batch tagger (operators/mentions.py) —
+``mapInPandas`` is streaming-compatible for stateless stages, so the batch
+and streaming paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mentions import TaggerConfig, discover_mentions
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_page_stream(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
+    """File-source page stream: parquet files dropped into input_dir become
+    micro-batches.  maxFilesPerTrigger bounds batch size (backpressure)."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def stream_mentions(pages_stream: DataFrame, cfg: TaggerConfig | None = None) -> DataFrame:
+    """Streaming mention discovery: identical plan to the batch path —
+    filter(lang) -> mapInPandas(tagger)."""
+    return discover_mentions(pages_stream, cfg)
+
+
+def windowed_mention_counts(
+    mentions_stream: DataFrame, pages_stream: DataFrame, window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Rolling typed-mention counts with late-data handling: join mentions
+    back to their page's warc_ts, watermark it, tumble-window per type.
+    Late pages beyond the watermark are dropped (state bounded)."""
+    ts = pages_stream.select("url", "warc_ts").withWatermark("warc_ts", watermark)
+    m = mentions_stream.select("url", "coarse_type")
+    return (
+        m.join(ts, "url")
+        .groupBy(F.window("warc_ts", window).alias("w"), "coarse_type")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "coarse_type", "n_mentions",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    cfg: TaggerConfig | None = None, timeout_sec: int = 60,
+):
+    """End-to-end: page stream -> mentions -> parquet sink with checkpoint.
+    availableNow trigger = process everything present, then stop (the batch
+    parity mode used by the tests); the checkpoint directory makes restarts
+    exactly-once per micro-batch."""
+    pages = read_page_stream(spark, input_dir)
+    mentions = stream_mentions(pages, cfg)
+    q = (
+        mentions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -18,28 +18,32 @@ import sys
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 from named_entity_discovery_and_linking_spark.session import get_spark
 from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
 spark = get_spark("scale-bench", master=f"local[{{cpus}}]", shuffle_partitions=2*cpus,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-# warm up JVM/codegen on a prefix so we measure steady-state compute
-DQ.QUERIES["kg_mentions"](spark, sf_dir).limit(100).count()
+# warm-up: run the FULL pipeline once at small scale so every distinct plan
+# shape is analyzed + whole-stage-codegen'd before the measured run (first
+# execution of each shape costs 1-3s of compile latency that would otherwise
+# be attributed to the measured leg)
+DQ.kg_pipeline(spark, sf_dir, 2).count()
 t0 = time.time()
-n = DQ.QUERIES["kg_triples"](spark, sf_dir).count()
+n = DQ.kg_pipeline(spark, sf_dir, replicate).count()
 dt = time.time() - t0
 print(json.dumps({{"cpus": cpus, "sec": round(dt, 2), "triples": n,
                    "triples_per_sec": round(n / dt, 1)}}))
 """
 
 
-def run(cpus: int, sf_dir: str) -> dict:
+def run(cpus: int, sf_dir: str, replicate: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), sf_dir],
-        capture_output=True, text=True, timeout=1200,
+        [sys.executable, "-c", code, str(cpus), sf_dir, str(replicate)],
+        capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -48,10 +52,15 @@ def run(cpus: int, sf_dir: str) -> dict:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    lo = run(n, sf_dir)
-    hi = run(4 * n, sf_dir)
+    # replicate the corpus so the job is compute-bound, not overhead-bound:
+    # scaling efficiency at 5k docs measures the task scheduler, not the
+    # pipeline (same input is used at BOTH parallelism levels)
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else int(os.environ.get("SCALE_REPLICATE", "512"))
+    lo = run(n, sf_dir, replicate)
+    hi = run(4 * n, sf_dir, replicate)
     eff = round(lo["sec"] / hi["sec"] / 4, 3)
-    result = {"N": lo, "4N": hi, "scaling_efficiency": eff, "sf": sf_dir}
+    result = {"N": lo, "4N": hi, "scaling_efficiency": eff, "sf": sf_dir,
+              "replicate": replicate}
     print(json.dumps(result, indent=2))
 
 

@@ -1,0 +1,127 @@
+"""CoNLL reader/scorer, KB TSV loaders, JSON-compat sink, multimodal ops."""
+
+import json
+import os
+
+import pytest
+
+from named_entity_discovery_and_linking_spark.sources.conll import (
+    _phrases,
+    conll_f1,
+    mentions_to_conll,
+    read_conll,
+)
+from named_entity_discovery_and_linking_spark.sources.json_compat import mentions_to_doc_json
+from named_entity_discovery_and_linking_spark.sources.kb_tsv import (
+    load_aliases_tab,
+    load_entities_tab,
+)
+
+
+def test_bio_phrases():
+    tags = ["B-GPE", "I-GPE", "O", "B-PER", "O", "I-ORG"]
+    assert _phrases(tags) == {(0, 2, "GPE"), (3, 4, "PER"), (5, 6, "ORG")}
+
+
+def test_conll_f1_exact():
+    # one sentence: gold has 2 phrases, pred finds 1 exactly + 1 spurious
+    rows = [
+        (0, "B-GPE", "B-GPE"), (0, "I-GPE", "I-GPE"), (0, "O", "O"),
+        (0, "B-PER", "O"), (0, "O", "B-ORG"),
+    ]
+    s = conll_f1(rows)
+    assert s["gold_phrases"] == 2 and s["found_phrases"] == 2
+    assert s["precision"] == 0.5 and s["recall"] == 0.5
+
+
+def test_read_conll_roundtrip(spark, tmp_path):
+    content = "0 Kyiv -- -- B-GPE B-GPE\n1 is -- -- O O\n\n0 Moscow -- -- B-GPE O\n"
+    p = tmp_path / "x.conll"
+    p.write_text(content)
+    df = read_conll(spark, str(p))
+    rows = sorted((r["sent_id"], r["word"], r["gold"], r["pred"]) for r in df.collect())
+    assert (0, "Kyiv", "B-GPE", "B-GPE") in rows
+    assert (1, "Moscow", "B-GPE", "O") in rows
+    s = conll_f1([(r[0], r[2], r[3]) for r in rows])
+    assert s["recall"] == 0.5
+
+
+def test_mentions_to_conll(spark):
+    m = spark.createDataFrame(
+        [("u", 0, "m1", "NAM", "Donetsk Oblast", "ldcOnt:GPE.ProvinceState.State", 5, 19)],
+        "url string, sid int, mid string, category string, mention string, type string, char_begin int, char_end int",
+    )
+    rows = {(r["word"], r["bio"]) for r in mentions_to_conll(m).collect()}
+    assert rows == {("Donetsk", "B-GPE"), ("Oblast", "I-GPE")}
+
+
+def test_kb_tsv_loaders(spark, tmp_path):
+    # entities.tab with 47 columns, header line (linking.py:50-51 skips it)
+    ncols = 47
+    header = "\t".join(f"c{i}" for i in range(ncols))
+    geo = ["GEO", "GPE", "E1", "Kyiv"] + [""] * (ncols - 4)
+    geo[12], geo[8], geo[46] = "UA", "city,village,...", "https://w/kyiv"
+    wll = ["WLL", "PER", "E2", "Some Person"] + [""] * (ncols - 4)
+    wll[26], wll[27], wll[28] = "politician", "Ukraine", "Kyiv"
+    p = tmp_path / "entities.tab"
+    p.write_text(header + "\n" + "\t".join(geo) + "\n" + "\t".join(wll) + "\n")
+    e = load_entities_tab(spark, str(p))
+    rows = {r["eid"]: r for r in e.collect()}
+    assert rows["E1"]["country"] == "UA" and rows["E1"]["wiki"] == "https://w/kyiv"
+    assert rows["E2"]["country"] == "politician\tUkraine\tKyiv"
+
+    a = tmp_path / "aliases.tab"
+    a.write_text("eid\talias\nE1\tKiev\n")
+    al = load_aliases_tab(spark, str(a))
+    assert [(r["eid"], r["alias"]) for r in al.collect()] == [("E1", "Kiev")]
+
+
+def test_json_compat_shape(spark):
+    from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+    from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+
+    m = discover_mentions(pages_df(spark, n_pages=5))
+    out = mentions_to_doc_json(m).collect()
+    assert len(out) > 0
+    doc = json.loads(out[0]["doc_json"])
+    assert isinstance(doc, list)
+    rec = doc[0]
+    assert set(rec) == {"docID", "inputSentence", "offset", "namedMentions",
+                        "nominalMentions", "fillerMentions"}
+    # reference serialization convention: indent=1 + sorted keys (main.py:286)
+    assert out[0]["doc_json"] == json.dumps(doc, indent=1, sort_keys=True)
+
+
+def test_multimodal_plumbing(spark):
+    from named_entity_discovery_and_linking_spark.operators.multimodal import (
+        extract_features,
+        media_fixture,
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_fixture(spark, 12)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in feats)
+
+    resized = resize_images(media, 32, 32).collect()
+    assert all(r["width"] == 32 for r in resized)
+    assert len(resized) == sum(1 for r in media.collect() if r["kind"] == "image")
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(frames) == len(vids) * 4  # 3500ms -> ts 0,1000,2000,3000
+
+
+def test_multimodal_strict_raises(spark):
+    from named_entity_discovery_and_linking_spark.operators.multimodal import (
+        extract_features,
+        media_fixture,
+    )
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_features(media_fixture(spark, 3), strict=True).collect()

@@ -1,0 +1,93 @@
+"""Structured Streaming parity + per-partition lineage/resume (north_rule)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+from named_entity_discovery_and_linking_spark.plans.lineage import (
+    completed_buckets,
+    read_lineage,
+    run_stage,
+)
+from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+    run_stream_to_table,
+)
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """Streaming mentions == batch mentions on the same pages."""
+    pages = pages_df(spark, n_pages=12)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_table(spark, in_dir, out_dir, ckpt, timeout_sec=120)
+    streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    batch = sorted(map(tuple, discover_mentions(pages).collect()))
+    assert streamed == batch
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmp_path):
+    """Restarting the stream with the same checkpoint does not duplicate."""
+    pages = pages_df(spark, n_pages=8)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_table(spark, in_dir, out_dir, ckpt, timeout_sec=120)
+    n1 = spark.read.parquet(out_dir).count()
+    run_stream_to_table(spark, in_dir, out_dir, ckpt, timeout_sec=120)  # restart, no new files
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
+
+
+def _discover(pages):
+    return discover_mentions(pages)
+
+
+def test_lineage_resume_skips_completed(spark, tmp_path):
+    pages = pages_df(spark, n_pages=30)
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+
+    # first run: only half the buckets "survive" (simulated kill: run the
+    # stage on a corpus subset whose urls hash into a bucket subset)
+    from named_entity_discovery_and_linking_spark.sources.io import bucketize
+
+    b = bucketize(pages, "url", 8)
+    half = b.filter(F.col("bucket") < 4).drop("bucket")
+    run_stage(spark, half, "mentions", _discover, out, lin, n_buckets=8)
+    done1 = set(completed_buckets(spark, lin, "mentions"))
+    assert done1 and done1 <= {0, 1, 2, 3}
+
+    # resumed run over the FULL corpus: completed buckets must be skipped
+    run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=8)
+    done2 = set(completed_buckets(spark, lin, "mentions"))
+    assert done2 == set(range(8)) - (set(range(4)) - done1) or done2 >= done1
+    # lineage rows for the first-half buckets were written once, not twice
+    lin_df = read_lineage(spark, lin)
+    per_bucket = {
+        r["bucket"]: r["cnt"]
+        for r in lin_df.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(c == 1 for c in per_bucket.values())
+
+    # final output == single-shot run over the full corpus
+    resumed = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "mentions")).drop("bucket").collect())
+    )
+    single = sorted(map(tuple, discover_mentions(pages).collect()))
+    assert resumed == single
+
+
+def test_lineage_rerun_is_noop(spark, tmp_path):
+    pages = pages_df(spark, n_pages=10)
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=4)
+    rows1 = read_lineage(spark, lin).count()
+    run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=4)
+    rows2 = read_lineage(spark, lin).count()
+    assert rows1 == rows2  # nothing recomputed, nothing re-marked
