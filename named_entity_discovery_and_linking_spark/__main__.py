@@ -1,0 +1,87 @@
+"""spark-submit entrypoint: the full KG-construction job with lineage.
+
+Deployment (north_star contract):
+
+  zip -r ndl.zip named_entity_discovery_and_linking_spark
+  spark-submit --py-files ndl.zip \
+      --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      -m named_entity_discovery_and_linking_spark ... (or this file) \
+      --pages /path/to/pages_parquet --out /path/to/output \
+      [--kb entities.tab --aliases alternate_names.tab] [--buckets 256]
+
+Stages: mentions (bucket-resumable via the lineage table) -> links ->
+clusters/entities -> triples + nodes/edges tables.  Re-running after a kill
+skips completed mention buckets and overwrites only recomputed partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="named_entity_discovery_and_linking_spark")
+    ap.add_argument("--pages", required=True, help="parquet dir with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True, help="output root (tables written under it)")
+    ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
+    ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
+    ap.add_argument("--buckets", type=int, default=64, help="url-hash lineage buckets")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .operators.linking import link_mentions
+    from .operators.mentions import discover_mentions
+    from .plans.graph import build_graph
+    from .plans.lineage import run_stage
+    from .session import _ship_package, get_spark
+    from .sources.io import write_table
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # launched via spark-submit: session already configured
+        spark = active
+        _ship_package(spark)
+    else:
+        spark = get_spark("ndl-kg-job", master=args.master)
+
+    pages = spark.read.parquet(args.pages)
+
+    lineage_dir = os.path.join(args.out, "_lineage")
+    mentions = run_stage(
+        spark, pages, "mentions", discover_mentions, args.out, lineage_dir, args.buckets
+    ).localCheckpoint()
+
+    if args.kb:
+        from .sources.kb_tsv import load_aliases_tab, load_entities_tab
+
+        kb = load_entities_tab(spark, args.kb)
+        aliases = (
+            load_aliases_tab(spark, args.aliases)
+            if args.aliases
+            else spark.createDataFrame([], "eid string, alias string")
+        )
+    else:
+        from .fixtures.generator import kb_dfs
+
+        kb, aliases = kb_dfs(spark)
+
+    links = link_mentions(mentions, kb, aliases).localCheckpoint()
+    write_table(links, os.path.join(args.out, "links"))
+
+    triples, nodes, edges = build_graph(mentions, links)
+    write_table(triples, os.path.join(args.out, "triples"))
+    write_table(nodes, os.path.join(args.out, "nodes"))
+    write_table(edges, os.path.join(args.out, "edges"))
+
+    n = spark.read.parquet(os.path.join(args.out, "triples")).count()
+    print(f"done: {n} triples -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

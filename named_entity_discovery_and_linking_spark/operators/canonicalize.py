@@ -111,10 +111,18 @@ def cluster_mentions(mentions: DataFrame, links: DataFrame) -> DataFrame:
     )
     top_links = links.filter(F.col("rank") == 1).select("mid", "eid")
 
-    w1 = Window.partitionBy("name_norm", "coarse_type")
-    with_r1 = nam.withColumn("r1", F.min("mid").over(w1))
-    w2 = Window.partitionBy("eid")
-    link_r2 = top_links.withColumn("r2", F.min("mid").over(w2)).select("mid", "r2")
+    # group roots via groupBy + broadcast join back, NOT a window: a window
+    # partitioned by name/eid sorts one giant partition per hot entity
+    # (measured as a ~100s serial critical path at 2.5M pages); the groupBy
+    # aggregates map-side and its output is one row per GROUP — tiny, so it
+    # broadcasts
+    # join strategy left to AQE: the group table broadcasts when it fits
+    # (runtime size check) and falls back to a skew-split shuffle join when
+    # the name universe is too large to broadcast (true web scale)
+    g1 = nam.groupBy("name_norm", "coarse_type").agg(F.min("mid").alias("r1"))
+    with_r1 = nam.join(g1, ["name_norm", "coarse_type"])
+    g2 = top_links.groupBy("eid").agg(F.min("mid").alias("r2"))
+    link_r2 = top_links.join(g2, "eid").select("mid", "r2")
     m = with_r1.join(link_r2, "mid", "left")
 
     contracted = (

@@ -1,0 +1,126 @@
+"""Dedup / similarity / textstats operator semantics on hand-built inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from named_entity_discovery_and_linking_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_nn,
+    sign_bucket,
+)
+from named_entity_discovery_and_linking_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"), # near dup
+        (3, "completely different text about spark engines here"),
+        (4, "el gato y el perro y el raton y la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").coalesce(2)
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_exact_dup_is_one(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # one shingle window changed
+    assert (0, 3) not in pairs
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert all(a < b for a, b in pairs)  # canonical ordering, no self-pairs
+
+
+def test_minhash_signature_identical_for_dups(docs):
+    sig = {r["doc"]: tuple(r[c] for c in r.asDict() if c.startswith("mh_"))
+           for r in minhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_simhash_close_for_near_dups(docs):
+    s = {r["doc"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[0] == s[1]
+    ham_near = bin(s[0] ^ s[2]).count("1")
+    ham_far = bin(s[0] ^ s[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, [0], k=3).orderBy("rnk").collect()
+    assert [r["n_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos"] > 0.99 and out[2]["cos"] == -1.0
+
+
+def test_lsh_bucket_groups_same_signs(spark):
+    rows = [
+        (0, [1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [2.0, 0.5, -0.1, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same sign pattern
+        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = emb.select("vec_id", sign_bucket("embedding", 8).alias("bucket")).collect()
+    buckets = {r["vec_id"]: r["bucket"] for r in b}
+    assert buckets[0] == buckets[1] != buckets[2]
+    nn = {r["vec_id"]: r["nn_id"] for r in lsh_bucketed_nn(emb, nbits=8).collect()}
+    assert nn[0] == 1 and nn[1] == 0
+    assert 2 not in nn  # alone in its bucket -> no neighbor row
+
+
+def test_lang_id_picks_stopword_majority(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog in the house"), (1, "el gato y la casa de el perro")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out[0] == "en" and out[1] == "es"
+
+
+def test_quality_and_token_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and runs away fast")],
+        "doc_id long, text string",
+    )
+    q = quality_score(docs).collect()[0]
+    assert q["n_tokens"] == 13 and 0 <= q["quality"] <= 100
+    t = token_stats(docs).collect()[0]
+    assert t["n_tokens"] == 13 and t["n_distinct"] == 12  # 'the' repeats
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[2] != fp[1]
