@@ -110,16 +110,18 @@ def build_alias_table(kb_clean: DataFrame, aliases: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------ candidate generation
 
 def _nam_queries(mentions: DataFrame) -> DataFrame:
-    """NAM mentions -> (mid, ent_name, ent_type, sent_text) query rows.
-    ent_name = lower(mention), ent_type = type[7:10] (linking.py:310)."""
+    """NAM mentions -> (mid, ent_name, ent_type, ctx_tokens) query rows.
+    ent_name = lower(mention), ent_type = type[7:10] (linking.py:310).
+    ctx_tokens = RAW-case whitespace tokens of the sentence — the reference's
+    IoU compares info vs the raw sentence (iou(info, sentence),
+    linking.py:291,309); tokenized ONCE per mention here, not per candidate."""
     return (
         mentions.filter(F.col("category") == "NAM")  # F10
         .select(
             "url", "mid",
             F.lower(F.col("mention")).alias("ent_name"),
             F.substring(F.col("type"), 8, 3).alias("ent_type"),  # X4
-            F.lower(F.col("sent_text")).alias("sent_ctx"),
-            "sent_text",
+            F.array_distinct(F.split(F.col("sent_text"), r"\s+")).alias("ctx_tokens"),
         )
         .withColumn("q_tokens", F.expr(r"array_distinct(filter(split(ent_name, '[^\\p{L}\\p{N}]+'), t -> t != ''))"))
         .withColumn("n_q", F.size("q_tokens"))
@@ -268,7 +270,7 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
 def score_candidates(cands: DataFrame, queries: DataFrame) -> DataFrame:
     """F6 type gate + F7 id-dedup + rule scores + W5 argmax tie-keeping
     (linking.py:150-213), fully columnar."""
-    df = cands.join(queries.select("url", "mid", "ent_name", "ent_type", "sent_ctx", "sent_text"), "mid")
+    df = cands.join(queries.select("url", "mid", "ent_name", "ent_type", "ctx_tokens"), "mid")
     # F6 type-compat gate (linking.py:151-159)
     gate = (
         (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
@@ -310,8 +312,9 @@ def disambiguate(scored: DataFrame) -> DataFrame:
     Russia/Ukraine in info), normalized per mention (A7), ranked (W3)."""
     edit = 1.0 / (F.abs(F.length("cand_name") - F.length("ent_name")) + 1)  # X6
     info_toks = F.array_distinct(F.split(F.col("info"), r"\s+"))
-    ctx_toks = F.array_distinct(F.split(F.col("sent_ctx"), r"\s+"))
-    iou = F.size(F.array_intersect(info_toks, ctx_toks)) / F.size(F.array_union(info_toks, ctx_toks))
+    iou = F.size(F.array_intersect(info_toks, F.col("ctx_tokens"))) / F.size(
+        F.array_union(info_toks, F.col("ctx_tokens"))
+    )
     ctx = (
         F.when(F.col("ent_type") == "PER",
                iou * 5 + F.when(F.col("info").contains("Russia") | F.col("info").contains("Ukraine"), 1.0).otherwise(0.0))

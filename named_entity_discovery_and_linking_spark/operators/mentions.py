@@ -73,6 +73,7 @@ class TaggerConfig:
 
     gaz_phrases: dict = field(default_factory=dict)  # tuple(tokens) -> (coarse, fine_or_None)
     titles: set = field(default_factory=set)  # lowercased title phrases (tuples)
+    title_dict: dict = field(default_factory=dict)  # titles as a _PhraseDict
     wordnet: dict = field(default_factory=dict)  # lemma -> (type, subtype, subsubtype)
     ont_ids: list = field(default_factory=list)  # ldcOnt:* ids, scan order
     nist_key: dict = field(default_factory=dict)
@@ -94,9 +95,11 @@ class TaggerConfig:
             phrases[tuple(name.split())] = ("WEA", None)
         for name in G.LOCATIONS:
             phrases[tuple(name.split())] = ("LOC", None)
+        titles = {tuple(t.split()) for t in G.GAZ_TITLES}
         return cls(
-            gaz_phrases=phrases,
-            titles={tuple(t.split()) for t in G.GAZ_TITLES},
+            gaz_phrases=_PhraseDict(phrases),
+            titles=titles,
+            title_dict=_PhraseDict({t: None for t in titles}),
             wordnet={l: (t, s, ss) for l, t, s, ss in G.WORDNET_TYPES},
             ont_ids=list(G.LDC_ENTITY_TYPES),
             nist_key=dict(G.NIST_KEY),
@@ -162,21 +165,26 @@ def _coarse_tags(tokens: list) -> list:
     return tags
 
 
-def _match_phrases(tokens, claimed, phrase_dict, max_len=5):
+def _match_phrases(tokens, claimed, phrase_dict, max_len=5, lows=None):
     """Longest-match scan of lowercased token n-grams against a phrase dict.
-    Yields (i, j, value) spans over unclaimed tokens."""
+    Yields (i, j, value) spans over unclaimed tokens.  ``lows`` is an
+    optional precomputed list of lowercased token texts (hot path: this
+    function runs 3x per sentence)."""
     n = len(tokens)
+    if lows is None:
+        lows = [t[0].lower() for t in tokens]
+    first_words = getattr(phrase_dict, "_first_words", None)
     i = 0
     out = []
     while i < n:
-        if claimed[i]:
+        if claimed[i] or (first_words is not None and lows[i] not in first_words):
             i += 1
             continue
         hit = None
         for l in range(min(max_len, n - i), 0, -1):
             if any(claimed[i:i + l]):
                 continue
-            key = tuple(t[0].lower() for t in tokens[i:i + l])
+            key = tuple(lows[i:i + l])
             if key in phrase_dict:
                 hit = (i, i + l, phrase_dict[key])
                 break
@@ -190,18 +198,30 @@ def _match_phrases(tokens, claimed, phrase_dict, max_len=5):
     return out
 
 
-def _extract_named(tokens, coarse, cfg: TaggerConfig):
+class _PhraseDict(dict):
+    """dict of token-tuple -> value with a first-word index so the scan can
+    skip positions that cannot start any phrase (the common case)."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self._first_words = {k[0] for k in base}
+
+
+def _extract_named(tokens, coarse, cfg: TaggerConfig, lows=None):
     """M2-stub + J4: gazetteer longest-match NAMs (score 0.9, fine types where
     the gazetteer provides them — gazetteer.py:76-99) plus a capitalized-run
     heuristic for unknown entities (score 0.6 = the reference's probability
     floor, ner.py:327-329)."""
+    if lows is None:
+        lows = [t[0].lower() for t in tokens]
     claimed = [c != "O" for c in coarse]  # date/time/number tokens can't be NAM
     named = []
-    for i, j, (ctype, fine) in _match_phrases(tokens, claimed, cfg.gaz_phrases):
+    for i, j, (ctype, fine) in _match_phrases(tokens, claimed, cfg.gaz_phrases, lows=lows):
         named.append((i, j, ctype, fine, 0.9))
     # mark titles as claimed so heuristic runs don't swallow them
     title_claimed = list(claimed)
-    _match_phrases(tokens, title_claimed, {t: None for t in cfg.titles})
+    title_dict = cfg.title_dict or {t: None for t in cfg.titles}
+    _match_phrases(tokens, title_claimed, title_dict, lows=lows)
     i = 0
     n = len(tokens)
     while i < n:
@@ -210,8 +230,8 @@ def _extract_named(tokens, coarse, cfg: TaggerConfig):
             title_claimed[i]
             or not tok[:1].isupper()
             or not tok.replace("-", "").isalpha()
-            or tok.lower() in cfg.stopwords
-            or tok.lower() in cfg.wordnet
+            or lows[i] in cfg.stopwords
+            or lows[i] in cfg.wordnet
         ):
             i += 1
             continue
@@ -221,7 +241,7 @@ def _extract_named(tokens, coarse, cfg: TaggerConfig):
             and not title_claimed[j]
             and tokens[j][0][:1].isupper()
             and tokens[j][0].replace("-", "").isalpha()
-            and tokens[j][0].lower() not in cfg.stopwords
+            and lows[j] not in cfg.stopwords
         ):
             j += 1
         if j > i and (i > 0 or j - i >= 2):
@@ -259,14 +279,15 @@ def _extract_nominals(tokens, claimed, cfg: TaggerConfig):
     return noms
 
 
-def _extract_fillers(sent_text, tokens, coarse, cfg: TaggerConfig, has_per: bool):
+def _extract_fillers(sent_text, tokens, coarse, cfg: TaggerConfig, has_per: bool, lows=None):
     """FIL extraction (filler.py): titles (J6: only if sentence has a PER,
     filler.py:36-43), times/dates, numbers/percents, urls (F9,
     dictionary.py:8-23).  Returns list of (text, begin, end, ftype)."""
     fils = []
     claimed = [False] * len(tokens)
     if has_per:
-        for i, j, _ in _match_phrases(tokens, claimed, {t: None for t in cfg.titles}):
+        title_dict = cfg.title_dict or {t: None for t in cfg.titles}
+        for i, j, _ in _match_phrases(tokens, claimed, title_dict, lows=lows):
             b, e = tokens[i][1], tokens[j - 1][2]
             fils.append((sent_text[b:e], b, e, "TITLE"))
     i = 0
@@ -359,12 +380,13 @@ def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
         tokens = tokenize_with_offsets(sent)
         if not tokens:
             continue
+        lows = [t[0].lower() for t in tokens]
         coarse = _coarse_tags(tokens)
-        named, claimed = _extract_named(tokens, coarse, cfg)
+        named, claimed = _extract_named(tokens, coarse, cfg, lows)
         # F2: stopword NAM drop (ner.py:345-346)
         named = [
             nm for nm in named
-            if " ".join(t[0].lower() for t in tokens[nm[0]:nm[1]]) not in cfg.stopwords
+            if " ".join(lows[nm[0]:nm[1]]) not in cfg.stopwords
         ]
         noms = _extract_nominals(tokens, claimed, cfg)
         # F5: NAM/NOM same (text, begin) -> drop NOM if its subtype is n/a,
@@ -382,7 +404,7 @@ def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
         noms = [nm for k, nm in enumerate(noms) if k not in drop_nom]
 
         has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
-        fils = _extract_fillers(sent, tokens, coarse, cfg, has_per)
+        fils = _extract_fillers(sent, tokens, coarse, cfg, has_per, lows)
         fils = resolve_filler_overlaps(fils)
 
         m_id = 0

@@ -148,7 +148,7 @@ def q_link_score_rule(spark, sf_dir):
         .select(
             F.lit("u").alias("url"), F.col("ent_name").alias("mid"), "ent_name",
             type_map[F.col("ent_name")].alias("ent_type"),
-            F.col("ent_name").alias("sent_ctx"), F.col("ent_name").alias("sent_text"),
+            F.array(F.col("ent_name")).alias("ctx_tokens"),
         )
         .withColumn("q_tokens", F.array(F.col("ent_name")))
         .withColumn("n_q", F.lit(1))

@@ -19,7 +19,7 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
-os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
 from named_entity_discovery_and_linking_spark.session import get_spark
 from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
 spark = get_spark("scale-bench", master=f"local[{{cpus}}]", shuffle_partitions=2*cpus,

@@ -10,7 +10,7 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus = int(sys.argv[1]); replicate = int(sys.argv[2])
-os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
 from named_entity_discovery_and_linking_spark.session import get_spark
 from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
 from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs

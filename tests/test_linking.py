@@ -33,7 +33,8 @@ def mk_queries(spark, rows):
         rows, "url string, mid string, ent_name string, ent_type string, sent_text string"
     )
     return (
-        df.withColumn("sent_ctx", F.lower("sent_text"))
+        df.withColumn("ctx_tokens", F.array_distinct(F.split(F.col("sent_text"), r"\s+")))
+        .drop("sent_text")
         .withColumn("q_tokens", F.expr(r"array_distinct(filter(split(ent_name, '[^\\p{L}\\p{N}]+'), t -> t != ''))"))
         .withColumn("n_q", F.size("q_tokens"))
     )

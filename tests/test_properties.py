@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the pure contract functions.
+
+The reference has no property tests (SURVEY.md §5); these pin the invariants
+that the distributed pipeline depends on: determinism, offset consistency,
+truncation bounds, overlap-resolution postconditions, hash portability.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from named_entity_discovery_and_linking_spark.functions.textnorm import (
+    MAX_DOC_SENTS,
+    extract_text,
+    name_tokens,
+    reconstruct_doc,
+    split_sentences,
+    tokenize_with_offsets,
+)
+from named_entity_discovery_and_linking_spark.operators.mentions import (
+    is_url,
+    resolve_filler_overlaps,
+)
+
+printable_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,!?%:/-\n", max_size=400
+)
+
+
+@given(printable_text)
+@settings(max_examples=200, deadline=None)
+def test_extract_text_deterministic_and_idempotent_shape(s):
+    a = extract_text(None, s)
+    b = extract_text(None, s)
+    assert a == b
+    # re-extracting the extracted text never grows the document
+    assert len(extract_text(None, a)) <= len(a) + a.count("\n") + a.count(";") + 8
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + " %20.", min_size=1, max_size=30), max_size=250))
+@settings(max_examples=100, deadline=None)
+def test_reconstruct_spans_consistent(sents):
+    doc, spans = reconstruct_doc(sents)
+    assert len(spans) <= MAX_DOC_SENTS
+    for b, e in spans:
+        assert 0 <= b <= e <= len(doc)
+        assert "%20" not in doc[b:e]
+    # spans are ordered and non-overlapping
+    for (b1, e1), (b2, e2) in zip(spans, spans[1:]):
+        assert e1 < b2
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + " .,()%:-", max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_tokenizer_offsets_substring(s):
+    for tok, b, e in tokenize_with_offsets(s):
+        if tok not in "()[]":  # bracket unescape rewrites
+            assert s[b:e] == tok
+            assert b < e
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_name_tokens_lowercase_alnum(s):
+    for t in name_tokens(s):
+        assert t == t.lower()
+        assert t.isalnum()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["14:30", "2014-07-17", "14:30 on 2014", "25%", "25", "x"]),
+            st.integers(0, 50),
+            st.integers(1, 20),
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_filler_overlap_resolution_postconditions(items):
+    fils = [(t, b, b + l, "TIME") for t, b, l in items]
+    out = resolve_filler_overlaps(fils)
+    if fils:
+        assert 1 <= len(out) <= len(fils)
+        assert all(f in fils for f in out)
+        # output is begin-sorted (the reference walks a begin-sorted list)
+        begins = [f[1] for f in out]
+        assert begins == sorted(begins)
+
+
+@given(st.text(alphabet=string.printable, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_is_url_total(s):
+    assert isinstance(is_url(s), bool)  # never raises on arbitrary tokens
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_portable_hash_matches_duckdb(s):
+    """The md5-derived 60-bit hash is engine-portable by construction;
+    verify the Python reference of both formulas agree."""
+    import hashlib
+
+    hx = hashlib.md5(s.encode("utf-8")).hexdigest()[:15]
+    spark_style = int(hx, 16)  # conv(substring(md5,1,15),16,10)
+    duck_style = int("0x" + hx, 16)  # ('0x'||substring(md5,1,15))::BIGINT
+    assert spark_style == duck_style < 2**60
