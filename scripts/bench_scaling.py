@@ -19,7 +19,11 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
-os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+# cluster-proportional memory: on a real cluster 4N executors bring 4N
+# memory with them, so the local proxy scales the (shared) heap with the
+# task-slot count; a fixed giant heap starves GC at low core counts and a
+# fixed small heap thrashes at high ones
+os.environ.setdefault("SPARK_DRIVER_MEM", str(6 * cpus) + "g")
 from named_entity_discovery_and_linking_spark.session import get_spark
 from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
 spark = get_spark("scale-bench", master=f"local[{{cpus}}]", shuffle_partitions=2*cpus,
@@ -41,9 +45,14 @@ print(json.dumps({{"cpus": cpus, "sec": round(dt, 2), "triples": n,
 def run(cpus: int, sf_dir: str, replicate: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = CHILD.format(repo=repo)
+    # taskset: confine the WHOLE process tree (JVM incl. GC/JIT threads +
+    # Python workers) to exactly `cpus` host CPUs.  Without it a local[N]
+    # JVM spills background work onto the other host cores and the low-N
+    # leg runs faster than N cores could — inflating t_4N/t_N.
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), sf_dir, str(replicate)],
-        capture_output=True, text=True, timeout=1800,
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code,
+         str(cpus), sf_dir, str(replicate)],
+        capture_output=True, text=True, timeout=2400,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
