@@ -48,13 +48,21 @@ def mention_edges(mentions: DataFrame, links: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
-    """Min-label propagation over (src, dst) string-id edges.
+    """Min-label propagation WITH pointer jumping over (src, dst) edges.
 
     Returns (mid, cluster_id) where cluster_id is the lexicographically
-    smallest mention id in the component.  Each round: label(v) <-
-    min(label(v), min over neighbors label(u)); stop when no label changes.
-    Rounds are localCheckpoint()ed (plan truncation) — the iterative-join
-    pitfall called out in SURVEY.md §7.
+    smallest mention id in the component.  Each round does two half-steps:
+
+      1. propagate:  label(v) <- min(label(v), min over neighbors label(u))
+      2. jump:       label(v) <- min(label(v), label(label(v)))
+
+    Plain propagation alone needs ~diameter rounds (a chain of k contracted
+    group-roots takes k rounds); the jump half-step doubles the resolved
+    prefix per round, giving true O(log n) convergence.  Rounds are
+    localCheckpoint()ed (plan truncation — the iterative-join pitfall in
+    SURVEY.md §7) and convergence is checked on the already-materialized
+    frame each round (a cheap scan).  If the round cap is hit without
+    convergence we RAISE rather than silently return split components.
     """
     sym = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -68,30 +76,41 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
         .withColumn("label", F.col("mid"))
         .localCheckpoint()
     )
-    for rnd in range(max_rounds):
+    for _rnd in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("mid", "dst2"), sym.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the change flag inside the checkpointed frame: one job per
-        # round (materialize) + an occasional cheap scan (convergence check)
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.mid == neighbor_min.src, "left")
             .select(
                 "mid",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("new_label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("p_label"),
                 F.col("label").alias("old_label"),
+            )
+        )
+        # pointer jump: label <- label's label (one hop of path compression)
+        ptr = propagated.select(
+            F.col("mid").alias("p_mid"), F.col("p_label").alias("pp_label")
+        )
+        new_labels = (
+            propagated.join(ptr, propagated.p_label == ptr.p_mid, "left")
+            .select(
+                "mid",
+                F.least(F.col("p_label"), F.coalesce(F.col("pp_label"), F.col("p_label"))).alias("new_label"),
+                "old_label",
             )
             .localCheckpoint()
         )
         labels = new_labels.select("mid", F.col("new_label").alias("label"))
-        # star-shaped edge construction converges in a handful of rounds;
-        # checking every round costs a job, so probe on odd rounds only
-        if rnd % 2 == 1 or rnd == max_rounds - 1:
-            if new_labels.filter(F.col("new_label") != F.col("old_label")).limit(1).count() == 0:
-                break
-    return labels.select("mid", F.col("label").alias("cluster_id"))
+        if new_labels.filter(F.col("new_label") != F.col("old_label")).limit(1).count() == 0:
+            return labels.select("mid", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "returning partial labels would split entity components; raise the "
+        "round cap (O(log n) rounds suffice with pointer jumping)"
+    )
 
 
 def cluster_mentions(mentions: DataFrame, links: DataFrame) -> DataFrame:
@@ -193,7 +212,11 @@ def canonical_entities(clusters: DataFrame, links: DataFrame, mentions: DataFram
     voted = cluster_link_vote(clusters, links).select("cluster_id", "eid", "cname").distinct()
     linked_clusters = voted.select("cluster_id").distinct()
     unlinked = clusters.select("cluster_id").distinct().join(linked_clusters, "cluster_id", "left_anti")
-    elected = elect_best_mention(clusters.join(unlinked, "cluster_id"), mentions).select(
+    elected = elect_best_mention(clusters.join(unlinked, "cluster_id"), mentions).filter(
+        # registration type gate (linking.py:649-650): only these coarse
+        # types may become new temporary-KB entities
+        F.col("coarse_type").isin("GPE", "LOC", "FAC", "PER", "ORG", "VEH", "WEA")
+    ).select(
         "cluster_id",
         F.concat(
             F.lit("tmpkb:@"),

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 TOP_K_CANDIDATES = 100  # linking.py:112
 TMPKB_PROMOTE_MIN = 5  # linking.py:473-475
-MAX_FUZZY_DIST = 5  # linking.py:320
+# The reference ASKS for dist up to min(5, len//5) (linking.py:320-322), but
+# Lucene FuzzyQuery caps maxEdits at 2: the 'term~3..5' retries throw inside
+# the try/except and the query returns 'none' (linking.py:322-324).  The
+# reference's EFFECTIVE fuzzy budget is therefore min(2, len//5) — we
+# reproduce that, not the dead 3..5 range (DEVIATIONS.md #3).
+MAX_FUZZY_DIST = 2
 
 
 # ------------------------------------------------------------------ KB prep
@@ -85,7 +90,6 @@ def build_alias_table(kb_clean: DataFrame, aliases: DataFrame) -> DataFrame:
             "src", "country", "feature", "wiki",
         )
     )
-    surf = base.unionByName(al)
     info = (
         F.when(F.col("src") == "GEO", F.concat_ws("\t", "country", "feature", "wiki"))
         .when(F.col("src") == "WLL", F.col("country"))  # fixture stores WLL bio in `country`
@@ -97,8 +101,21 @@ def build_alias_table(kb_clean: DataFrame, aliases: DataFrame) -> DataFrame:
         .when(F.col("src") == "WLL", F.lit(3))
         .otherwise(F.lit(1))
     )
+    # alias_id is CONTENT-derived (not monotonically_increasing_id): it
+    # tie-breaks the top-100 cap and the F7 per-eid dedup, so it must not
+    # depend on the KB's physical partition layout — determinism across
+    # partitionings is a contract (see test_linking determinism tests).
+    # is_alias disambiguates a base row from an alias row with the same
+    # (eid, surface); the hash is unique per logical row.
+    base = base.withColumn("_is_alias", F.lit(0))
+    al = al.withColumn("_is_alias", F.lit(1))
+    surf = base.unionByName(al)
     return (
-        surf.withColumn("alias_id", F.monotonically_increasing_id())
+        surf.withColumn(
+            "alias_id",
+            F.xxhash64(F.concat_ws("|", "eid", "cand_name", "src", "_is_alias")),
+        )
+        .drop("_is_alias")
         .withColumn("info", info)
         .withColumn("info_nfields", nfields)
         .withColumn("name_norm", F.lower(F.col("cand_name")))
@@ -108,6 +125,36 @@ def build_alias_table(kb_clean: DataFrame, aliases: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------------ candidate generation
+
+def _del1_sql(e: str, var: str = "i") -> str:
+    """SQL expr: all strings obtained by deleting exactly one char of ``e``
+    (empty input -> empty array; sequence(1,0) would count DOWN in Spark)."""
+    return (
+        f"CASE WHEN length({e}) <= 0 THEN array() ELSE "
+        f"transform(sequence(1, length({e})), {var} -> "
+        f"concat(substring({e}, 1, {var}-1), substring({e}, {var}+1))) END"
+    )
+
+
+def deletion_variants(col: str, budget: str) -> "F.Column":
+    """SymSpell-style deletion neighborhood of a token, depth <= ``budget``
+    (a column name or int literal, clamped by construction to 0..2 —
+    MAX_FUZZY_DIST is 2, the effective Lucene budget).
+
+    Guarantee used by the fuzzy join: lev(q, a) <= d implies q and a share a
+    string reachable by <= d deletions from each side, so an EQUI-join on the
+    variant retrieves a superset of the true matches; one levenshtein per
+    joined pair verifies.  |variants| = 1 + L + L(L-1)/2 per token at d=2.
+    """
+    d0 = f"array({col})"
+    d1 = _del1_sql(col)
+    d2 = f"flatten(transform({_del1_sql(col)}, t -> {_del1_sql('t', 'j')}))"
+    return F.expr(
+        f"CASE WHEN {budget} >= 2 THEN array_distinct(concat({d0}, {d1}, {d2})) "
+        f"WHEN {budget} >= 1 THEN array_distinct(concat({d0}, {d1})) "
+        f"ELSE {d0} END"
+    )
+
 
 def _nam_queries(mentions: DataFrame) -> DataFrame:
     """NAM mentions -> (mid, ent_name, ent_type, ctx_tokens) query rows.
@@ -147,12 +194,15 @@ def generate_candidates(queries: DataFrame, alias_table: DataFrame, fuzzy_dist: 
     if fuzzy_dist == 0:
         joined = q_tok.join(F.broadcast(a_tok), q_tok.q_tok == a_tok.a_tok)
     else:
-        cond = (
-            (F.length(a_tok.a_tok) >= F.length(q_tok.q_tok) - fuzzy_dist)
-            & (F.length(a_tok.a_tok) <= F.length(q_tok.q_tok) + fuzzy_dist)
-            & (F.levenshtein(q_tok.q_tok, a_tok.a_tok) <= fuzzy_dist)
+        # equi-keyed deletion-neighborhood join (see deletion_variants);
+        # duplicates from multiple shared variants are harmless under the
+        # countDistinct rollup below
+        q_var = q_tok.withColumn("variant", F.explode(deletion_variants("q_tok", str(int(fuzzy_dist)))))
+        a_var = a_tok.withColumn("variant", F.explode(deletion_variants("a_tok", str(int(fuzzy_dist)))))
+        joined = (
+            q_var.join(F.broadcast(a_var), q_var.variant == a_var.variant)
+            .filter(F.levenshtein(F.col("q_tok"), F.col("a_tok")) <= fuzzy_dist)
         )
-        joined = q_tok.join(F.broadcast(a_tok), cond)
     cands = (
         joined.groupBy("mid", "n_q", "alias_id", "eid", "cand_name", "cname",
                        "cand_type", "info", "info_nfields", "n_tokens")
@@ -239,17 +289,31 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # empty (linking.py:319-329), folding all retry distances into one pass:
     #   d*(cand) = max over q tokens of min lev; keep candidates at the
     #   per-mention min d* (equivalent to "first non-empty dist wins")
+    #
+    # The join is EQUI-keyed on SymSpell deletion variants (see
+    # deletion_variants): both sides explode their <=2-deletion
+    # neighborhoods and hash-join on the variant string, then one
+    # levenshtein per joined pair verifies lev <= budget.  This replaces a
+    # broadcast nested-loop join whose cross product was |q_tokens| x
+    # |alias_tokens| levenshteins (368M measured at bench scale when
+    # unrestricted) — on a cold corpus/KB mismatch the NIL subset IS the
+    # corpus, so the BNLJ shape cannot survive 100x.  The variant index
+    # inflates the alias tokens ~|L|^2/2-fold; it broadcasts here (MB-scale
+    # cleaned KB); at web-KB scale drop the broadcast hint and let AQE plan
+    # a shuffled hash join on the same equi key.
     nil1 = q_tok.join(exact_gated.select("mid").distinct(), "mid", "left_anti").filter(
         F.col("budget") >= 1
     )
     lev = F.levenshtein(F.col("q_tok"), F.col("a_tok"))
-    cond = (
-        a_gate
-        & (F.length("a_tok") >= F.length("q_tok") - F.col("budget"))
-        & (F.length("a_tok") <= F.length("q_tok") + F.col("budget"))
-        & (lev <= F.col("budget"))
+    q_var = nil1.withColumn("variant", F.explode(deletion_variants("q_tok", "budget")))
+    a_var = a_tok.withColumn("variant", F.explode(deletion_variants("a_tok", str(int(max_dist)))))
+    fuzzy_pairs = (
+        q_var.join(F.broadcast(a_var), (q_var.variant == a_var.variant) & a_gate)
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= F.col("budget"))
     )
-    fuzzy_pairs = nil1.join(F.broadcast(a_tok), cond).withColumn("lev", lev)
+    # duplicate (q_tok, a_tok) rows from multiple shared variants are
+    # harmless: the min() below is duplicate-insensitive
     per_tok = fuzzy_pairs.groupBy(
         "mid", "n_q", "budget", "alias_id", "n_tokens", "q_tok"
     ).agg(F.min("lev").alias("min_lev"))
@@ -378,7 +442,9 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
             "url", "mid",
             F.concat(F.lit("tmpkb:"), F.col("tmp_eid")).alias("eid"),
             F.col("name").alias("cname"), "confidence", "rank",
-            F.lit(2).alias("subcomponent"),
+            # subcomponent 1 = tmp-KB lookup (linking.py:597-601); the
+            # EntityLinker path (exact AND fuzzy) is 0, cluster-registered is 2
+            F.lit(1).alias("subcomponent"),
         )
     )
 
@@ -387,12 +453,19 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
 
 def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> DataFrame:
     """Full E2: NAM mentions -> links (url, mid, eid, cname, confidence,
-    rank, subcomponent).  subcomponent: 0 exact, 1 fuzzy, 2 tmpkb.
+    rank, subcomponent).  subcomponent follows the reference encoding:
+    0 = EntityLinker.query result, exact AND fuzzy (linking.py:564-568);
+    1 = temporary-KB lookup (linking.py:597-601); 2 = cluster-registered
+    entities (linking.py:662-666, emitted by canonicalize, not here).
 
     Two-phase NIL handling mirrors linking.py:309-336 + 442-479: fuzzy
     retries run only for mentions the exact pass left empty, with per-dist
-    budget min(5, len(name)//5); the temporary-KB pass runs only on what is
-    still NIL after that.
+    budget min(2, len(name)//5) (effective Lucene budget — see
+    MAX_FUZZY_DIST); the temporary-KB pass runs only on what is still NIL
+    after that.  Promotion order matches the reference (linking.py:466-475):
+    NILs are looked up against the SEEDED tmp KB first, and only mentions
+    that lookup cannot resolve count toward the >=5 promotion — otherwise a
+    seeded name would be registered twice and split its confidence.
     """
     alias_table = build_alias_table(clean_kb(kb), aliases)
     # queries is a cheap projection of (usually checkpointed) mentions — its
@@ -406,11 +479,21 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> Dat
         "url", "mid",
         F.concat(F.lit("refkb:"), F.col("eid")).alias("eid"),
         "cname", "confidence", "rank",
-        F.when(F.col("d_star") > 0, 1).otherwise(0).alias("subcomponent"),
+        F.lit(0).alias("subcomponent"),
     )
 
     nil_queries = queries.join(scored.select("mid").distinct(), "mid", "left_anti")
-    tmpkb = tmpkb_seed(mentions.sparkSession).unionByName(promote_nils(nil_queries))
+    seed = tmpkb_seed(mentions.sparkSession)
+    seed_hits = nil_queries.join(
+        F.broadcast(seed),
+        (F.lower(seed.name) == nil_queries.ent_name) & (seed.type == nil_queries.ent_type),
+        "left_semi",
+    ).select("mid")
+    unresolved = nil_queries.join(seed_hits, "mid", "left_anti")
+    # promoted names are disjoint from seed names on (lower(name), type): any
+    # mention matching a seed is excluded above, so the union lookup below
+    # cannot split one mention's confidence across a seed and its duplicate.
+    tmpkb = seed.unionByName(promote_nils(unresolved))
     tmp_links = tmpkb_lookup(nil_queries, tmpkb)
 
     return kb_links.unionByName(tmp_links)

@@ -130,7 +130,7 @@ def q_link_score_rule(spark, sf_dir):
     )
     alias_table = (
         kb.select(
-            F.monotonically_increasing_id().alias("alias_id"),
+            F.xxhash64(F.concat_ws("|", "eid", "name")).alias("alias_id"),
             "eid", F.col("name").alias("cand_name"), F.col("name").alias("cname"),
             F.col("type").alias("cand_type"),
             F.concat_ws("\t", "country", "feature", "wiki").alias("info"),
@@ -198,19 +198,22 @@ WHERE ncand = 1 OR rule_score = (SELECT max(s2.rule_score) FROM scored s2 WHERE 
 
 
 def q_fuzzy_candidates(spark, sf_dir):
-    """J2 (linking.py:141-148): levenshtein<=1 token match with length-band
-    prune; mentions are vocabulary words with a typo appended."""
+    """J2 (linking.py:141-148): levenshtein<=1 token match, equi-keyed on
+    SymSpell deletion variants (a HASH join, not the vocab x vocab
+    nested-loop a raw theta join would plan); one levenshtein per joined
+    pair verifies.  Mentions are vocabulary words with a typo appended."""
+    from ..operators.linking import deletion_variants
+
     vocab = _tokens(spark, sf_dir).select("word").distinct()
     typo = vocab.select(F.concat(F.col("word"), F.lit("x")).alias("m"))
     cand = vocab.select(F.col("word").alias("cand"))
+    t_var = typo.withColumn("variant", F.explode(deletion_variants("m", "1")))
+    c_var = cand.withColumn("variant", F.explode(deletion_variants("cand", "1")))
     return (
-        typo.join(
-            cand,
-            (F.length("cand") >= F.length("m") - 1)
-            & (F.length("cand") <= F.length("m") + 1)
-            & (F.levenshtein(F.col("m"), F.col("cand")) <= 1),
-        )
+        t_var.join(c_var, "variant")
+        .filter(F.levenshtein(F.col("m"), F.col("cand")) <= 1)
         .select("m", "cand")
+        .dropDuplicates(["m", "cand"])
     )
 
 

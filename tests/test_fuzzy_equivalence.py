@@ -1,8 +1,10 @@
 """Equivalence proof-by-test: the single-pass unified candidate generation
 (generate_candidates_unified) selects exactly the candidates the reference's
 SEQUENTIAL retry loop would (linking.py:309-336): exact search first; if the
-type-gated set is empty, fuzzy at dist=1, then 2, ... up to min(5, len//5);
-first non-empty gated set wins."""
+type-gated set is empty, fuzzy at dist=1, then 2, up to the EFFECTIVE budget
+min(2, len//5) — the reference asks for up to min(5, len//5) but Lucene's
+FuzzyQuery caps maxEdits at 2, so its 'term~3..5' retries throw and return
+'none' (linking.py:322-324); first non-empty gated set wins."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -45,14 +47,14 @@ def sequential_reference(spark, queries, alias_table):
     )
     result = {}  # mid -> set of eids
     q_rows = {r["mid"]: r for r in queries.collect()}
-    for dist in range(0, 6):
+    for dist in range(0, 3):  # effective Lucene budget: maxEdits 2
         pending_mids = [m for m in q_rows if m not in result]
         if not pending_mids:
             break
         pending = queries.filter(F.col("mid").isin(pending_mids))
         if dist > 0:
             pending = pending.filter(
-                F.least(F.lit(5), F.floor(F.length("ent_name") / 5)) >= dist
+                F.least(F.lit(2), F.floor(F.length("ent_name") / 5)) >= dist
             )
         cands = generate_candidates(pending, alias_table, dist)
         gated = cands.join(

@@ -60,6 +60,31 @@ def test_candidate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_fuzzy_join_is_equi_keyed_hash_join(spark):
+    """J2's fuzzy retrieval must plan as a HASH join on the deletion-variant
+    equi key — NOT a BroadcastNestedLoopJoin (the round-1 shape, whose cross
+    product is |q_tokens| x |alias_tokens| levenshteins and cannot survive a
+    NIL-heavy corpus)."""
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        build_alias_table,
+        clean_kb,
+        generate_candidates,
+        generate_candidates_unified,
+    )
+
+    kb, al = kb_dfs(spark)
+    at = build_alias_table(clean_kb(kb), al)
+    q = spark.createDataFrame(
+        [("u", "m1", "kramatorskk", "GPE", "x")],
+        "url string, mid string, ent_name string, ent_type string, sent_text string",
+    ).withColumn("q_tokens", F.array(F.col("ent_name"))).withColumn("n_q", F.lit(1)) \
+     .withColumn("ctx_tokens", F.array(F.col("ent_name")))
+    for df in (generate_candidates(q, at, 2), generate_candidates_unified(q, at)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+
 def test_mentions_single_python_stage(spark, sf_docs):
     """Discovery is ONE ArrowEvalPython/mapInPandas stage — no shuffle
     between the scan and the mentions output."""
