@@ -386,7 +386,13 @@ def disambiguate(scored: DataFrame) -> DataFrame:
         .otherwise(0.0)
     )
     df = scored.withColumn("raw_conf", edit + ctx)
-    w = Window.partitionBy("mid")
+    # ordered frame so the double summation accumulates in a deterministic
+    # (eid) order — an unordered window sums in shuffle-arrival order, which
+    # can differ in the last ulp across partitionings and break the
+    # bit-identical-output contract the golden oracle relies on
+    w = Window.partitionBy("mid").orderBy("eid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     df = df.withColumn(
         "confidence",
         F.when(F.col("_ncand") == 1, 1.0).otherwise(
@@ -432,7 +438,10 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
         (F.lower(tmpkb.name) == nil_queries.ent_name) & (tmpkb.type == nil_queries.ent_type),
     )
     edit = 1.0 / (F.abs(F.length("name") - F.length("ent_name")) + 1)
-    w = Window.partitionBy("mid")
+    # ordered frame for deterministic double accumulation (see disambiguate)
+    w = Window.partitionBy("mid").orderBy("tmp_eid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     w_rank = Window.partitionBy("mid").orderBy(F.col("confidence").desc(), F.col("tmp_eid").asc())
     return (
         hits.withColumn("raw_conf", edit)

@@ -138,6 +138,85 @@ def normalize_ldc_type(etype: str, subtype: str, subsubtype: str, ont_ids: list)
     return "ldcOnt:" + t.upper()
 
 
+def normalize_types_df(df: DataFrame, ont_ids: list) -> DataFrame:
+    """X5 (main.py:134-244) as a COLUMNAR operator over (etype, subtype,
+    subsubtype) columns — the exact decision procedure of
+    ``normalize_ldc_type`` (same scan semantics), expressed as joins against
+    a broadcastable ontology table + CASE, so it is SQL-oracle-checkable and
+    stays inside codegen.  Adds column ``ont``.
+
+    Decision table (derived from the reference's per-ont elif chain,
+    main.py:155-180; grid-equivalence to the Python function is pinned by
+    test_mentions::test_normalize_types_df_equals_python):
+      a) etype already ldc-prefixed        -> etype
+      b) subsubtype known                  -> first ont containing '.sst',
+                                              else 'ldcOnt:' + upper(t)
+      c) sst unknown, st known, t != n/a   -> first ont containing t AND '.st',
+                                              else 'ldcOnt:' + upper(t)
+      d) sst unknown, st known, t == n/a   -> first ont containing '.st',
+                                              else 'ldcOnt:N/A'
+      e) sst unknown, st unknown, t != n/a -> 'ldcOnt:' + upper(VAL/TTL
+                                              rewrite of t)  (the reference
+                                              returns this on the FIRST ont
+                                              iteration)
+      f) sst unknown, st unknown, t == n/a -> 'ldcOnt:N/A'
+    """
+    spark = df.sparkSession
+    ont = spark.createDataFrame(
+        [(i, o, o.lower()) for i, o in enumerate(ont_ids)], "idx int, ont string, low string"
+    )
+    t = F.lower(F.col("etype"))
+    st = F.concat(F.lit("."), F.lower(F.coalesce(F.nullif(F.col("subtype"), F.lit("")), F.lit("n/a"))))
+    sst = F.concat(F.lit("."), F.lower(F.coalesce(F.nullif(F.col("subsubtype"), F.lit("")), F.lit("n/a"))))
+    base = df.withColumn("_t", t).withColumn("_st", st).withColumn("_sst", sst)
+
+    # the match depends ONLY on the (t, st, sst) triple, so resolve the
+    # first-ont lookup over the DISTINCT triples (a dimension-sized frame)
+    # and hash-join the answers back — no per-row key, no row inflation
+    trips = base.select("_t", "_st", "_sst").distinct()
+
+    def first_match(cond, out):
+        return (
+            trips.join(F.broadcast(ont), cond)
+            .groupBy("_t", "_st", "_sst")
+            .agg(F.min("idx").alias("_midx"))
+            .join(F.broadcast(ont.select(F.col("idx").alias("_midx"), F.col("ont").alias(out))), "_midx")
+            .drop("_midx")
+        )
+
+    keyed = (
+        base.join(F.broadcast(first_match(F.col("low").contains(F.col("_sst")), "_ont_sst")),
+                  ["_t", "_st", "_sst"], "left")
+        .join(F.broadcast(first_match(
+            F.col("low").contains(F.col("_t")) & F.col("low").contains(F.col("_st")), "_ont_tst")),
+            ["_t", "_st", "_sst"], "left")
+        .join(F.broadcast(first_match(F.col("low").contains(F.col("_st")), "_ont_st")),
+              ["_t", "_st", "_sst"], "left")
+    )
+
+    t_up = F.concat(F.lit("ldcOnt:"), F.upper(F.col("_t")))
+    val_rewrite = F.concat(
+        F.lit("ldcOnt:"),
+        F.upper(
+            F.when(F.col("_t").isin("numerical", "url", "time"), "val")
+            .when(F.col("_t") == "title", "ttl")
+            .otherwise(F.col("_t"))
+        ),
+    )
+    sst_known = ~F.col("_sst").contains("n/a")
+    st_known = ~F.col("_st").isin(".n/a", ".na")
+    result = (
+        F.when(F.col("etype").startswith("ldc"), F.col("etype"))
+        .when(sst_known, F.coalesce(F.col("_ont_sst"), t_up))
+        .when(st_known & (F.col("_t") != "n/a"), F.coalesce(F.col("_ont_tst"), t_up))
+        .when(st_known, F.coalesce(F.col("_ont_st"), F.lit("ldcOnt:N/A")))
+        .when(F.col("_t") != "n/a", val_rewrite)
+        .otherwise(F.lit("ldcOnt:N/A"))
+    )
+    return keyed.withColumn("ont", result).drop("_t", "_st", "_sst",
+                                                "_ont_sst", "_ont_tst", "_ont_st")
+
+
 def apply_nist_key(mention_text: str, cur_type: str, nist_key: dict) -> str:
     """Keyword override: exactly one mention token in nist_key -> its type
     (main.py:236-244)."""
@@ -320,6 +399,26 @@ def _extract_fillers(sent_text, tokens, coarse, cfg: TaggerConfig, has_per: bool
                 fils.append((chunk, b, b + len(chunk), "URL"))
             pos = b + len(chunk)
     return fils
+
+
+def nam_nom_dedup_df(nam: DataFrame, nom: DataFrame, keys=("url", "char_begin", "mention")) -> DataFrame:
+    """F5 (main.py:84-98) as a DataFrame operator, for pipelines where NAM
+    and NOM mentions arrive from separate stages: rows sharing (doc, begin,
+    text) across the two sets keep the NOM iff its subtype is known
+    (reference: drop the NOM when 'n/a' is in its subtype, else drop the
+    NAM).  Both inputs need the key columns plus NOM a ``subtype``.
+
+    Shape: two hash anti-joins on the composite key — no window, no
+    collect; map-side combinable at any scale.
+    """
+    keys = list(keys)
+    nom_na = nom.filter(F.col("subtype").contains("n/a") | F.col("subtype").isNull())
+    nom_known = nom.join(nom_na.select(keys), keys, "left_anti")
+    kept_nam = nam.join(nom_known.select(keys), keys, "left_anti")
+    kept_nom = nom.join(nom_na.join(nam.select(keys), keys, "left_semi").select(keys), keys, "left_anti")
+    return kept_nam.withColumn("category", F.lit("NAM")).unionByName(
+        kept_nom.withColumn("category", F.lit("NOM")), allowMissingColumns=True
+    )
 
 
 def is_url(token: str) -> bool:

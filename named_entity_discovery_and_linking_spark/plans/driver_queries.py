@@ -15,6 +15,8 @@ burden for those.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -222,6 +224,237 @@ WITH vocab AS (SELECT DISTINCT word FROM ({_TOKENS_SQL})),
 typo AS (SELECT word || 'x' AS m FROM vocab)
 SELECT t.m, v.word AS cand FROM typo t JOIN vocab v
 ON len(v.word) BETWEEN len(t.m) - 1 AND len(t.m) + 1 AND levenshtein(t.m, v.word) <= 1
+"""
+
+
+def q_filler_overlap(spark, sf_dir):
+    """W1 (main.py:100-126) containment semantics as a driver query: spans
+    are doc tokens (singles + adjacent bigrams); duplicates collapse to the
+    earliest begin and any span whose text is a proper substring of a longer
+    span's text in the same doc is dropped.  This is the declarative closure
+    of the reference's sorted pairwise walk (identical on chain-free input;
+    the exact sequential walk runs inside the tagger —
+    mentions.resolve_filler_overlaps — pinned by test_mentions goldens)."""
+    tok = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    singles = tok.select("doc_id", (F.col("pos") * 20).alias("char_begin"), F.col("word").alias("text"))
+    bigrams = (
+        tok.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", (F.col("pos") * 20 + 7).alias("char_begin"),
+            F.concat_ws(" ", "word", "nxt").alias("text"),
+        )
+    )
+    spans = singles.unionByName(bigrams)
+    ded = spans.groupBy("doc_id", "text").agg(F.min("char_begin").alias("char_begin"))
+    g = ded.select(F.col("doc_id").alias("g_doc"), F.col("text").alias("g_text"))
+    return ded.join(
+        g,
+        (F.col("doc_id") == F.col("g_doc"))
+        & F.col("g_text").contains(F.col("text"))
+        & (F.length("g_text") > F.length("text")),
+        "left_anti",
+    ).select("doc_id", "char_begin", "text")
+
+
+_FILLER_OVERLAP_SQL = f"""
+WITH tok AS ({_TOKENS_SQL}),
+bigr AS (
+  SELECT doc_id, pos*20+7 AS char_begin,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS text
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, pos*20 AS char_begin, word AS text FROM tok
+  UNION ALL
+  SELECT doc_id, char_begin, text FROM bigr WHERE text IS NOT NULL
+),
+ded AS (SELECT doc_id, text, min(char_begin) AS char_begin FROM spans GROUP BY doc_id, text)
+SELECT f.doc_id, f.char_begin, f.text FROM ded f
+WHERE NOT EXISTS (
+  SELECT 1 FROM ded g WHERE g.doc_id = f.doc_id
+  AND len(g.text) > len(f.text) AND position(f.text IN g.text) > 0
+)
+"""
+
+NOM_WORDS = ["spark", "merge", "scan", "sort", "limit", "join"]
+
+
+def q_nam_nom_dedup(spark, sf_dir):
+    """F5 (main.py:84-98) through the real nam_nom_dedup_df operator: NAM and
+    NOM sets built from doc tokens; pairs on (doc, begin, text) keep the NOM
+    iff its subtype is known, singletons pass through."""
+    from ..operators.mentions import nam_nom_dedup_df
+
+    tok = _tokens(spark, sf_dir)
+    nam = tok.filter(F.col("word").isin(GAZ_WORDS)).select(
+        "doc_id", F.col("pos").alias("char_begin"), F.col("word").alias("mention")
+    )
+    nom = tok.filter(F.col("word").isin(NOM_WORDS)).select(
+        "doc_id", F.col("pos").alias("char_begin"), F.col("word").alias("mention"),
+        F.when(F.length("word") % 2 == 0, "actor").otherwise("n/a").alias("subtype"),
+    )
+    out = nam_nom_dedup_df(nam, nom, keys=("doc_id", "char_begin", "mention"))
+    return out.select("doc_id", "char_begin", "mention", "category", "subtype")
+
+
+_NAM_NOM_SQL = f"""
+WITH tok AS ({_TOKENS_SQL}),
+nam AS (
+  SELECT doc_id, pos AS char_begin, word AS mention FROM tok WHERE word IN ({_sql_list(GAZ_WORDS)})
+),
+nom AS (
+  SELECT doc_id, pos AS char_begin, word AS mention,
+         CASE WHEN len(word) % 2 = 0 THEN 'actor' ELSE 'n/a' END AS subtype
+  FROM tok WHERE word IN ({_sql_list(NOM_WORDS)})
+)
+SELECT n.doc_id, n.char_begin, n.mention, 'NAM' AS category, CAST(NULL AS VARCHAR) AS subtype
+FROM nam n WHERE NOT EXISTS (
+  SELECT 1 FROM nom o WHERE o.doc_id = n.doc_id AND o.char_begin = n.char_begin
+  AND o.mention = n.mention AND o.subtype NOT LIKE '%n/a%'
+)
+UNION ALL
+SELECT o.doc_id, o.char_begin, o.mention, 'NOM' AS category, o.subtype
+FROM nom o WHERE NOT (o.subtype LIKE '%n/a%' AND EXISTS (
+  SELECT 1 FROM nam n WHERE n.doc_id = o.doc_id AND n.char_begin = o.char_begin
+  AND n.mention = o.mention
+))
+"""
+
+# the (etype, subtype, subsubtype) grid for X5: hits every branch of the
+# reference's normalization chain (ldc-prefixed passthrough, known sst,
+# type+subtype containment, n/a type, VAL/TTL rewrite, full-n/a fallback)
+X5_ETYPES = ["GPE", "PER", "ORG", "LOC", "n/a", "numerical", "title", "ldcOnt:WEA.Gun.Artillery"]
+X5_SUBTYPES = ["UrbanArea", "Politician", "n/a", "Government", ""]
+X5_SSTS = ["City", "n/a", "Sniper", ""]
+
+
+def q_type_normalize(spark, sf_dir):
+    """X5 (main.py:134-244) through the columnar normalize_types_df operator
+    over a deterministic type grid derived from token positions."""
+    from ..fixtures.generator import LDC_ENTITY_TYPES
+    from ..operators.mentions import normalize_types_df
+
+    def pick(vals, mod):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (F.col("pos") % mod + 1).cast("int")
+        )
+
+    tok = _tokens(spark, sf_dir).select(
+        "doc_id", "pos",
+        pick(X5_ETYPES, len(X5_ETYPES)).alias("etype"),
+        pick(X5_SUBTYPES, len(X5_SUBTYPES)).alias("subtype"),
+        pick(X5_SSTS, len(X5_SSTS)).alias("subsubtype"),
+    )
+    return normalize_types_df(tok, list(LDC_ENTITY_TYPES)).select(
+        "doc_id", "pos", "etype", "subtype", "subsubtype", "ont"
+    )
+
+
+def _type_normalize_sql() -> str:
+    from ..fixtures.generator import LDC_ENTITY_TYPES
+
+    ont_vals = ", ".join(f"({i}, '{o}')" for i, o in enumerate(LDC_ENTITY_TYPES))
+
+    def pick(vals, col):
+        arr = "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+        return f"list_extract({arr}, CAST(pos % {len(vals)} AS INT) + 1)"
+
+    return f"""
+WITH ont(idx, ont) AS (VALUES {ont_vals}),
+tok AS ({_TOKENS_SQL}),
+base AS (
+  SELECT doc_id, pos,
+         {pick(X5_ETYPES, 'etype')} AS etype,
+         {pick(X5_SUBTYPES, 'subtype')} AS subtype,
+         {pick(X5_SSTS, 'subsubtype')} AS subsubtype
+  FROM tok
+),
+trip AS (
+  SELECT *, lower(etype) AS t,
+         '.' || lower(coalesce(nullif(subtype, ''), 'n/a')) AS st,
+         '.' || lower(coalesce(nullif(subsubtype, ''), 'n/a')) AS sst
+  FROM base
+),
+sel AS (
+  SELECT *,
+    (SELECT arg_min(ont, idx) FROM ont WHERE contains(lower(ont.ont), trip.sst)) AS ont_sst,
+    (SELECT arg_min(ont, idx) FROM ont WHERE contains(lower(ont.ont), trip.t)
+        AND contains(lower(ont.ont), trip.st)) AS ont_tst,
+    (SELECT arg_min(ont, idx) FROM ont WHERE contains(lower(ont.ont), trip.st)) AS ont_st
+  FROM trip
+)
+SELECT doc_id, pos, etype, subtype, subsubtype,
+  CASE WHEN etype LIKE 'ldc%' THEN etype
+       WHEN NOT contains(sst, 'n/a') THEN coalesce(ont_sst, 'ldcOnt:' || upper(t))
+       WHEN st NOT IN ('.n/a', '.na') AND t <> 'n/a' THEN coalesce(ont_tst, 'ldcOnt:' || upper(t))
+       WHEN st NOT IN ('.n/a', '.na') THEN coalesce(ont_st, 'ldcOnt:N/A')
+       WHEN t <> 'n/a' THEN 'ldcOnt:' || upper(
+         CASE WHEN t IN ('numerical', 'url', 'time') THEN 'val'
+              WHEN t = 'title' THEN 'ttl' ELSE t END)
+       ELSE 'ldcOnt:N/A' END AS ont
+FROM sel
+"""
+
+
+def q_edl_merge(spark, sf_dir):
+    """J7 (unify_edl.py:7-36) through the merge_edl operator: synthetic EDL
+    tab rows derived from doc tokens, two band-offset variants per token so
+    the +-1 band and the last-line-wins rule are both exercised."""
+    from ..operators.edl import merge_edl
+
+    tok = _tokens(spark, sf_dir).filter(F.col("word").isin(GAZ_WORDS))
+    base = F.col("doc_id") * 100000 + F.col("pos") * 20
+    mentions = tok.select(
+        F.concat_ws(":", "doc_id", "pos").alias("mid"),
+        F.lit("NAM").alias("category"),
+        F.col("word").alias("mention"),
+        base.alias("char_begin"),
+        (base + F.length("word")).alias("char_end"),
+        F.col("word").alias("headword"),
+        base.alias("head_begin"),
+        (base + F.length("word")).alias("head_end"),
+    )
+    variant = tok.select(
+        "doc_id", "pos", "word", F.explode(F.array(F.lit(0), F.lit(1))).alias("o")
+    )
+    vbase = F.col("doc_id") * 100000 + F.col("pos") * 20
+    edl = variant.select(
+        ((F.col("doc_id") * 100000 + F.col("pos")) * 2 + F.col("o")).alias("line_no"),
+        F.col("word").alias("mention"),
+        (vbase + F.col("o")).alias("char_begin"),
+        (vbase + F.length("word") - 1).alias("char_end"),  # inclusive
+        F.concat_ws(":", F.lit("fb"), "word", "o").alias("fb_id"),
+        F.concat(F.lit("wk:"), F.col("word")).alias("wiki_id"),
+        F.lit("NAM").alias("form"),
+    )
+    return merge_edl(mentions, edl).select("mid", "mention", "fb_id", "wiki_id")
+
+
+_EDL_MERGE_SQL = f"""
+WITH tok AS (SELECT * FROM ({_TOKENS_SQL}) WHERE word IN ({_sql_list(GAZ_WORDS)})),
+mentions AS (
+  SELECT doc_id || ':' || pos AS mid, word AS mention,
+         doc_id*100000 + pos*20 AS char_begin,
+         doc_id*100000 + pos*20 + len(word) AS char_end
+  FROM tok
+),
+edl AS (
+  SELECT (doc_id*100000 + pos)*2 + o AS line_no, word AS mention,
+         doc_id*100000 + pos*20 + o AS char_begin,
+         doc_id*100000 + pos*20 + len(word) - 1 AS char_end,
+         'fb:' || word || ':' || o AS fb_id, 'wk:' || word AS wiki_id
+  FROM tok, (VALUES (0), (1)) v(o)
+),
+matched AS (
+  SELECT m.mid, m.mention, e.fb_id, e.wiki_id,
+         row_number() OVER (PARTITION BY m.mid ORDER BY e.line_no DESC) AS rn
+  FROM mentions m LEFT JOIN edl e
+  ON m.mention = e.mention AND abs(e.char_begin - m.char_begin) <= 1
+     AND abs(e.char_end + 1 - m.char_end) <= 1
+)
+SELECT mid, mention, fb_id, wiki_id FROM matched WHERE rn = 1
 """
 
 
@@ -451,7 +684,22 @@ def kg_pipeline(spark, sf_dir, replicate: int = 1):
 
 
 def q_kg_triples(spark, sf_dir):
-    return kg_pipeline(spark, sf_dir, 1)
+    """Flagship pipeline; conf rounded to 6dp so the value-hash against the
+    frozen golden parquet is format-stable (the underlying confidences are
+    already bit-deterministic across partitionings — ordered-window A7 sums —
+    rounding just removes the last-ulp formatting hazard)."""
+    return kg_pipeline(spark, sf_dir, 1).withColumn("conf", F.round("conf", 6))
+
+
+# golden-parquet oracles for the two non-SQL-expressible flagship queries:
+# the sf0.01 pipeline output is frozen (scripts/freeze_kg_goldens.py) and the
+# DuckDB oracle is a raw scan of the frozen file — a drift pin that upgrades
+# the driver check from rows-only to rows+schema+hash.  Regenerate ONLY on an
+# intentional semantic change, together with tests/goldens (test_pr_gate).
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "goldens",
+)
 
 
 # --------------------------------------------------------------- SQL oracles
@@ -622,6 +870,10 @@ QUERIES = {
     "nil_promotion": q_nil_promotion,
     "link_score_rule": q_link_score_rule,
     "fuzzy_candidates": q_fuzzy_candidates,
+    "filler_overlap": q_filler_overlap,
+    "nam_nom_dedup": q_nam_nom_dedup,
+    "type_normalize": q_type_normalize,
+    "edl_merge": q_edl_merge,
     "conf_normalize": q_conf_normalize,
     "top1_per_group": q_top1_per_group,
     "argmax_tie_keep": q_argmax_tie_keep,
@@ -642,8 +894,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
-    "kg_mentions": q_kg_mentions,  # rows-only (mapInPandas tagger)
-    "kg_triples": q_kg_triples,  # rows-only (full pipeline, iterative CC)
+    "kg_mentions": q_kg_mentions,  # golden-parquet oracle (mapInPandas tagger)
+    "kg_triples": q_kg_triples,  # golden-parquet oracle (full pipeline)
 }
 
 ORACLES = {
@@ -662,6 +914,10 @@ ORACLES = {
     ),
     "link_score_rule": _LINK_SCORE_SQL,
     "fuzzy_candidates": _FUZZY_SQL,
+    "filler_overlap": _FILLER_OVERLAP_SQL,
+    "nam_nom_dedup": _NAM_NOM_SQL,
+    "type_normalize": _type_normalize_sql(),
+    "edl_merge": _EDL_MERGE_SQL,
     "conf_normalize": (
         "SELECT l_orderkey, l_linenumber, "
         "round(l_extendedprice / SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS share "
@@ -733,6 +989,9 @@ ORACLES = {
     "fingerprint": _fingerprint_sql(),
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
-    # kg_mentions / kg_triples: intentionally no oracle (mapInPandas tagger +
-    # iterative connected components are not SQL-expressible) -> rows-only.
+    # kg_mentions / kg_triples are not SQL-expressible (mapInPandas tagger +
+    # iterative connected components), so their oracle is a frozen golden
+    # parquet of the sf0.01 pipeline output — a hash-comparable drift pin.
+    "kg_mentions": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_mentions_sf0_01.parquet')",
+    "kg_triples": f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/kg_triples_sf0_01.parquet')",
 }
