@@ -59,6 +59,15 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: run the suite once at the smallest SF so the measured legs pay
+    # neither first-plan analysis nor whole-stage-codegen compilation (1-3 s
+    # per distinct plan shape — at bench scale that's the dominant cost, and
+    # a real cluster job amortizes it over hours)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            materialize(DQ.QUERIES[name](spark, warm_dir))
+
     times = {}
     for name in HEADLINE:
         fn = DQ.QUERIES[name]

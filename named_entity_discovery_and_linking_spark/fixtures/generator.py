@@ -89,6 +89,7 @@ WORDNET_TYPES = [
     ("airport", "FAC", "Installation", "Airport"),
     ("bridge", "FAC", "Structure", "Bridge"),
     ("spokesman", "PER", "ProfessionalPosition", "Spokesperson"),
+    ("commander", "PER", "MilitaryPersonnel", "n/a"),
     ("president", "PER", "Politician", "HeadOfGovernment"),
     ("protester", "PER", "Protester", "n/a"),
     ("protesters", "PER", "Protester", "n/a"),
@@ -158,6 +159,12 @@ SUBTYPE_HIERARCHY = {
     "VEH": ["WheeledVehicle", "MilitaryVehicle", "Aircraft"],
     "WEA": ["MissileSystem", "Gun"],
 }
+
+# POS-lite adjective lexicon for the NP chunker (CoreNLP JJ stand-in).
+ADJECTIVES = [
+    "rebel", "military", "armed", "eastern", "western", "local", "former",
+    "senior", "humanitarian", "separatist", "heavy", "civilian", "national",
+]
 
 STOPWORDS = {
     "a", "an", "the", "and", "or", "of", "in", "on", "at", "to", "for",

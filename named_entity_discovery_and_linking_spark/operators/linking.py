@@ -257,6 +257,10 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     )
 
     def _cap(gated):
+        """top-100 per mention + attribute rejoin.  Applied ONCE, after the
+        exact/fuzzy union: the two phases cover DISJOINT mention ids (fuzzy
+        runs only on exact misses), so a single window is equivalent to
+        capping each phase — and saves one shuffle + one broadcast job."""
         w = Window.partitionBy("mid").orderBy(F.col("n_tokens").asc(), F.col("alias_id").asc())
         return (
             gated.withColumn("lucene_rank", F.row_number().over(w))
@@ -282,8 +286,8 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         .agg(F.countDistinct("q_tok").alias("n_matched"))
         .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
         .withColumn("d_star", F.lit(0))
+        .localCheckpoint()  # feeds the union AND the fuzzy-phase anti-join
     )
-    exact_gated = _cap(exact).localCheckpoint()
 
     # Phase 2 — fuzzy retrieval ONLY for mentions whose gated exact set is
     # empty (linking.py:319-329), folding all retry distances into one pass:
@@ -301,7 +305,7 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # inflates the alias tokens ~|L|^2/2-fold; it broadcasts here (MB-scale
     # cleaned KB); at web-KB scale drop the broadcast hint and let AQE plan
     # a shuffled hash join on the same equi key.
-    nil1 = q_tok.join(exact_gated.select("mid").distinct(), "mid", "left_anti").filter(
+    nil1 = q_tok.join(exact.select("mid").distinct(), "mid", "left_anti").filter(
         F.col("budget") >= 1
     )
     lev = F.levenshtein(F.col("q_tok"), F.col("a_tok"))
@@ -326,7 +330,11 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     fuzzy = fuzzy.withColumn("d_min", F.min("d_star").over(w_m)).filter(
         F.col("d_star") == F.col("d_min")
     )
-    return exact_gated.unionByName(_cap(fuzzy))
+    return _cap(
+        exact.select("mid", "n_q", "alias_id", "n_tokens", "d_star").unionByName(
+            fuzzy.select("mid", "n_q", "alias_id", "n_tokens", "d_star")
+        )
+    )
 
 
 # ------------------------------------------------------------------ scoring
@@ -476,11 +484,13 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> Dat
     that lookup cannot resolve count toward the >=5 promotion — otherwise a
     seeded name would be registered twice and split its confidence.
     """
-    alias_table = build_alias_table(clean_kb(kb), aliases)
-    # queries is a cheap projection of (usually checkpointed) mentions — its
-    # two consumers (candidate gen, NIL anti-join) just recompute it; the
-    # scored frame IS checkpointed because it feeds links AND the anti-join.
-    queries = _nam_queries(mentions)
+    # alias_table fans out into several broadcast exchanges (token index,
+    # variant index, attribute rejoin); without materialization every
+    # broadcast job re-runs clean_kb's dedup window — checkpoint once.
+    alias_table = build_alias_table(clean_kb(kb), aliases).localCheckpoint()
+    # queries feeds candidate gen, scoring, the NIL anti-join and the tmp-KB
+    # lookups; one materialization saves 3+ re-derivations from mentions.
+    queries = _nam_queries(mentions).localCheckpoint()
 
     cands = generate_candidates_unified(queries, alias_table, MAX_FUZZY_DIST)
     scored = disambiguate(score_candidates(cands, queries)).localCheckpoint()
@@ -493,12 +503,11 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> Dat
 
     nil_queries = queries.join(scored.select("mid").distinct(), "mid", "left_anti")
     seed = tmpkb_seed(mentions.sparkSession)
-    seed_hits = nil_queries.join(
+    unresolved = nil_queries.join(
         F.broadcast(seed),
         (F.lower(seed.name) == nil_queries.ent_name) & (seed.type == nil_queries.ent_type),
-        "left_semi",
-    ).select("mid")
-    unresolved = nil_queries.join(seed_hits, "mid", "left_anti")
+        "left_anti",
+    )
     # promoted names are disjoint from seed names on (lower(name), type): any
     # mention matching a seed is excluded above, so the union lookup below
     # cannot split one mention's confidence across a seed and its duplicate.

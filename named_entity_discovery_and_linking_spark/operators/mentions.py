@@ -79,6 +79,7 @@ class TaggerConfig:
     nist_key: dict = field(default_factory=dict)
     subtype_hierarchy: dict = field(default_factory=dict)
     stopwords: set = field(default_factory=set)
+    adjectives: set = field(default_factory=set)  # POS-lite JJ lexicon for the NP chunker
 
     @classmethod
     def default(cls) -> "TaggerConfig":
@@ -105,6 +106,7 @@ class TaggerConfig:
             nist_key=dict(G.NIST_KEY),
             subtype_hierarchy={k: set(v) for k, v in G.SUBTYPE_HIERARCHY.items()},
             stopwords=set(G.STOPWORDS),
+            adjectives=set(G.ADJECTIVES),
         )
 
 
@@ -331,28 +333,183 @@ def _extract_named(tokens, coarse, cfg: TaggerConfig, lows=None):
     return named, claimed
 
 
+# F3 literal sets (nominal.py:48-50; dictionary.py:6 other_pronouns)
+_NON_WORDS = {"mm", "hmm", "ahem", "um", "uh", "%mm", "%hmm", "%ahem", "%um", "%uh"}
+_NOM_QUANTIFIERS = {"not", "every", "any", "none", "everything", "anything",
+                    "nothing", "all", "enough"}
+_BARE_NP_WORDS = {"sense", "case", "now", "here", "there", "who", "whom",
+                  "whose", "where", "when", "which"}
+_OTHER_PRONOUNS = {"who", "whom", "whose", "where", "when", "which", "i"}
+_PP_PREPS = {"of", "in", "at", "on", "from", "for", "with"}
+
+
+class _NPNode:
+    """Minimal constituency node for the chunker: leaves carry (tag, index),
+    internal nodes carry (tag, children)."""
+
+    __slots__ = ("tag", "children", "index")
+
+    def __init__(self, tag, children=None, index=None):
+        self.tag = tag
+        self.children = children or []
+        self.index = index
+
+    def leaves(self):
+        if self.index is not None:
+            return [self]
+        out = []
+        for c in self.children:
+            out.extend(c.leaves())
+        return out
+
+    def span(self):
+        lv = self.leaves()
+        return lv[0].index, lv[-1].index + 1
+
+
+def find_head_of_np(np: _NPNode) -> int:
+    """Exact head-finding recursion of tree.py:64-76: last top-level NN*
+    child; else recurse into the last top-level NP child; else the last
+    noun leaf; else the last leaf."""
+    top_nouns = [c for c in np.children if c.tag == "NN"]
+    if top_nouns:
+        return top_nouns[-1].index
+    top_nps = [c for c in np.children if c.tag == "NP"]
+    if top_nps:
+        return find_head_of_np(top_nps[-1])
+    leaves = np.leaves()
+    noun_leaves = [l for l in leaves if l.tag == "NN"]
+    if noun_leaves:
+        return noun_leaves[-1].index
+    return leaves[-1].index
+
+
+def _noun_lemma(low: str, cfg: TaggerConfig):
+    """Lexicon-POS: a token is a noun iff its (singular-stripped) lemma is in
+    the wordnet table; returns the lemma or None."""
+    if low in cfg.wordnet:
+        return low
+    if low.endswith("s") and low[:-1] in cfg.wordnet:
+        return low[:-1]
+    return None
+
+
+def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
+    """Deterministic NP chunker standing in for the CoreNLP parse (M1 is a
+    sanctioned stub): grammar  CORE := [DT] (JJ|NN)* NN ;  NP := CORE (IN
+    CORE)*  with right-nested PP attachment, mirroring PTB shape
+    (NP (NP core) (PP in (NP core))).  Emits EVERY NP node (the reference
+    walks all NP constituents of the parse, nominal.py:26-43), so inner
+    cores and outer PP-attached spans all become candidates; W2 then keeps
+    the largest span per head."""
+    n = len(tokens)
+    pos = []
+    for idx in range(n):
+        low = lows[idx]
+        if claimed[idx]:
+            pos.append(None)
+        elif low in _DETS:
+            pos.append("DT")
+        elif _noun_lemma(low, cfg) is not None:
+            pos.append("NN")
+        elif low in cfg.adjectives:
+            pos.append("JJ")
+        elif low in _PP_PREPS:
+            pos.append("IN")
+        else:
+            pos.append(None)
+
+    def leaf(i):
+        return _NPNode(pos[i], index=i)
+
+    cores = []  # (start, end) token spans, each ending in NN
+    i = 0
+    while i < n:
+        if pos[i] in ("DT", "JJ", "NN"):
+            k = i + 1 if pos[i] == "DT" else i
+            has_nn = False
+            j = k
+            while j < n and pos[j] in ("JJ", "NN"):
+                has_nn = has_nn or pos[j] == "NN"
+                j += 1
+            end = j
+            while end > k and pos[end - 1] != "NN":
+                end -= 1  # a core must END in a noun
+            if has_nn and end > i and pos[end - 1] == "NN":
+                cores.append((i, end))
+                i = j
+            else:
+                i += 1
+        else:
+            i += 1
+
+    # PP attachment: core (IN core)* -> right-nested composite NPs
+    core_nodes = [_NPNode("NP", [leaf(i) for i in range(b, e)]) for b, e in cores]
+    np_nodes = []
+    ci = 0
+    while ci < len(core_nodes):
+        # find the maximal chain core IN core IN core ...
+        chain = [core_nodes[ci]]
+        preps = []
+        cj = ci
+        while (
+            cj + 1 < len(core_nodes)
+            and cores[cj][1] < n
+            and pos[cores[cj][1]] == "IN"
+            and cores[cj + 1][0] == cores[cj][1] + 1
+        ):
+            preps.append(cores[cj][1])
+            chain.append(core_nodes[cj + 1])
+            cj += 1
+        # build right-nested attachment and collect every NP constituent
+        node = chain[-1]
+        nested = [node]
+        for k in range(len(chain) - 2, -1, -1):
+            pp = _NPNode("PP", [leaf(preps[k]), node])
+            node = _NPNode("NP", [chain[k], pp])
+            nested.append(chain[k])
+            nested.append(node)
+        np_nodes.extend(nested)
+        ci = cj + 1
+    return np_nodes
+
+
 def _extract_nominals(tokens, claimed, cfg: TaggerConfig):
-    """NOM extraction stub of nominal.py: NP = [det] + wordnet-typed noun;
-    F3 spurious filters (nominal.py:48-73), W2 head dedup (nominal.py:75-86),
-    F4 typed-only (nominal.py:97-98)."""
-    noms = []
-    seen_heads = {}
-    for idx, (tok, b, e) in enumerate(tokens):
-        low = tok.lower()
-        if claimed[idx] or low not in cfg.wordnet:
+    """NOM extraction (nominal.py:26-98) over chunker NPs: every NP node is
+    a candidate; head via find_head_of_np (tree.py:64-76); F3 spurious
+    filters (nominal.py:53-71); W2 head dedup keeping the largest span
+    (nominal.py:75-86); F4 typed-only via the wordnet table on the headword
+    (nominal.py:97-98)."""
+    lows = [t[0].lower() for t in tokens]
+    candidates = []
+    for node in _chunk_np_trees(tokens, lows, claimed, cfg):
+        b, e = node.span()
+        hidx = find_head_of_np(node)
+        head_low = lows[hidx]
+        # F3 (nominal.py:53-68)
+        if head_low in _NON_WORDS or head_low == "%":
             continue
-        if low in _QUANTIFIERS or low in _PRONOUNS or low == "%":
-            continue  # F3
-        start = idx
-        if idx > 0 and tokens[idx - 1][0].lower() in _DETS and not claimed[idx - 1]:
-            start = idx - 1
-        t, s, ss = cfg.wordnet[low]
-        span = (start, idx + 1, idx, t, s, ss)
-        # W2: one NP per head index, keep the largest span
-        prev = seen_heads.get(idx)
-        if prev is None or (span[1] - span[0]) > (prev[1] - prev[0]):
-            seen_heads[idx] = span
-    for span in seen_heads.values():
+        if e - b == 1 and (
+            head_low in _NOM_QUANTIFIERS
+            or head_low in _BARE_NP_WORDS
+            or head_low in cfg.stopwords
+            or head_low in _OTHER_PRONOUNS
+        ):
+            continue
+        lemma = _noun_lemma(head_low, cfg)
+        if lemma is None:
+            continue  # untyped head -> cannot pass F4
+        t, s, ss = cfg.wordnet[lemma]
+        if t == "n/a" and s == "n/a" and ss == "n/a":
+            continue  # F4 (nominal.py:97-98)
+        candidates.append((b, e, hidx, t, s, ss))
+    # W2 (nominal.py:75-86): sort by (head, span desc); keep first per head
+    candidates.sort(key=lambda x: (x[2], -(x[1] - x[0]), x[0]))
+    noms, seen = [], set()
+    for span in candidates:
+        if span[2] in seen:
+            continue
+        seen.add(span[2])
         noms.append(span)
     noms.sort(key=lambda x: x[0])
     return noms
@@ -461,8 +618,11 @@ def resolve_filler_overlaps(fils: list) -> list:
 
 # ------------------------------------------------------------------ per-document analysis
 
-def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
-    """Full E1 per-document flow (main.py:64-290) as a pure function."""
+def _sentence_units(url: str, html, text, cfg: TaggerConfig) -> list:
+    """Per-document sentence prep (main.py:64-83 + document.py semantics):
+    returns [(sid, sent, s_begin, tokens, lows, coarse)] — everything a NAM
+    tagger (rule stub OR a batched model) needs, so inference can batch
+    sentences ACROSS documents."""
     doc = text if text else None
     if doc is None:
         from ..functions.textnorm import html_to_raw_text
@@ -470,7 +630,7 @@ def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
         doc = html_to_raw_text(html)
     sents = split_sentences(doc)
     _docstr, spans = reconstruct_doc(sents)
-    rows = []
+    units = []
     kept = sents[: len(spans)]
     for sid, (sent_raw, (s_begin, _s_end)) in enumerate(zip(kept, spans)):
         sent = sent_raw.replace("%20", "___")
@@ -481,69 +641,93 @@ def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
             continue
         lows = [t[0].lower() for t in tokens]
         coarse = _coarse_tags(tokens)
+        units.append((sid, sent, s_begin, tokens, lows, coarse))
+    return units
+
+
+def _assemble_rows(url, sid, sent, s_begin, tokens, lows, coarse, named, claimed,
+                   cfg: TaggerConfig) -> list:
+    """Everything AFTER NAM tagging (main.py:84-290): F2 stopword drop,
+    nominals, F5 NAM/NOM dedup, fillers + W1 + J6, X5 normalization, id
+    minting.  Shared verbatim between the rule tagger and the batched model
+    adapter so a model drop-in changes ONLY the NAM source."""
+    rows = []
+    # F2: stopword NAM drop (ner.py:345-346)
+    named = [
+        nm for nm in named
+        if " ".join(lows[nm[0]:nm[1]]) not in cfg.stopwords
+    ]
+    noms = _extract_nominals(tokens, claimed, cfg)
+    # F5: NAM/NOM same (text, begin) -> drop NOM if its subtype is n/a,
+    # else drop the NAM (main.py:84-98)
+    nam_spans = {(tokens[i][1], " ".join(t[0] for t in tokens[i:j])): k for k, (i, j, *_r) in enumerate(named)}
+    drop_nam, drop_nom = set(), set()
+    for k, (i, j, hidx, t, s, ss) in enumerate(noms):
+        key = (tokens[i][1], " ".join(tk[0] for tk in tokens[i:j]))
+        if key in nam_spans:
+            if "n/a" in (s or "n/a"):
+                drop_nom.add(k)
+            else:
+                drop_nam.add(nam_spans[key])
+    named = [nm for k, nm in enumerate(named) if k not in drop_nam]
+    noms = [nm for k, nm in enumerate(noms) if k not in drop_nom]
+
+    has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
+    fils = _extract_fillers(sent, tokens, coarse, cfg, has_per, lows)
+    fils = resolve_filler_overlaps(fils)
+
+    m_id = 0
+    for ftext, b, e, ftype in fils:
+        ont = normalize_ldc_type(ftype, "n/a", "n/a", cfg.ont_ids)
+        rows.append(
+            (url, sid, f"{url}#s{sid}#e{m_id}", "FIL", ftext, ont, ftype,
+             "n/a", "n/a", s_begin + b, s_begin + e, s_begin + b,
+             s_begin + e, ftext, 0.9, sent)
+        )
+        m_id += 1
+    for i, j, ctype, fine, score in named:
+        mtext = sent[tokens[i][1]:tokens[j - 1][2]]
+        sub = "n/a"
+        if fine:  # J5 gate: gazetteer fine type must respect the hierarchy
+            parts = fine.split(":", 1)[1].split(".")
+            if len(parts) > 1 and parts[1] in cfg.subtype_hierarchy.get(parts[0], set()):
+                sub = parts[1]
+            else:
+                fine = None
+        ont = fine or normalize_ldc_type(ctype, sub, "n/a", cfg.ont_ids)
+        ont = apply_nist_key(mtext, ont, cfg.nist_key)
+        rows.append(
+            (url, sid, f"{url}#s{sid}#e{m_id}", "NAM", mtext, ont, ctype,
+             sub, "n/a", s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+             s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+             tokens[j - 1][0], score, sent)
+        )
+        m_id += 1
+    for i, j, hidx, t, s, ss in noms:
+        mtext = sent[tokens[i][1]:tokens[j - 1][2]]
+        ont = normalize_ldc_type(t, s, ss, cfg.ont_ids)
+        ont = apply_nist_key(mtext, ont, cfg.nist_key)
+        rows.append(
+            (url, sid, f"{url}#s{sid}#e{m_id}", "NOM", mtext, ont, t, s, ss,
+             s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+             s_begin + tokens[hidx][1], s_begin + tokens[hidx][2],
+             tokens[hidx][0], 0.9, sent)
+        )
+        m_id += 1
+    return rows
+
+
+def _analyze_doc(url: str, html, text, cfg: TaggerConfig) -> list:
+    """Full E1 per-document flow (main.py:64-290) as a pure function:
+    sentence prep -> rule/gazetteer NAM tagging (M2-stub) -> shared
+    assembly (_assemble_rows)."""
+    rows = []
+    for sid, sent, s_begin, tokens, lows, coarse in _sentence_units(url, html, text, cfg):
         named, claimed = _extract_named(tokens, coarse, cfg, lows)
-        # F2: stopword NAM drop (ner.py:345-346)
-        named = [
-            nm for nm in named
-            if " ".join(lows[nm[0]:nm[1]]) not in cfg.stopwords
-        ]
-        noms = _extract_nominals(tokens, claimed, cfg)
-        # F5: NAM/NOM same (text, begin) -> drop NOM if its subtype is n/a,
-        # else drop the NAM (main.py:84-98)
-        nam_spans = {(tokens[i][1], " ".join(t[0] for t in tokens[i:j])): k for k, (i, j, *_r) in enumerate(named)}
-        drop_nam, drop_nom = set(), set()
-        for k, (i, j, hidx, t, s, ss) in enumerate(noms):
-            key = (tokens[i][1], " ".join(tk[0] for tk in tokens[i:j]))
-            if key in nam_spans:
-                if "n/a" in (s or "n/a"):
-                    drop_nom.add(k)
-                else:
-                    drop_nam.add(nam_spans[key])
-        named = [nm for k, nm in enumerate(named) if k not in drop_nam]
-        noms = [nm for k, nm in enumerate(noms) if k not in drop_nom]
-
-        has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
-        fils = _extract_fillers(sent, tokens, coarse, cfg, has_per, lows)
-        fils = resolve_filler_overlaps(fils)
-
-        m_id = 0
-        for ftext, b, e, ftype in fils:
-            ont = normalize_ldc_type(ftype, "n/a", "n/a", cfg.ont_ids)
-            rows.append(
-                (url, sid, f"{url}#s{sid}#e{m_id}", "FIL", ftext, ont, ftype,
-                 "n/a", "n/a", s_begin + b, s_begin + e, s_begin + b,
-                 s_begin + e, ftext, 0.9, sent)
-            )
-            m_id += 1
-        for i, j, ctype, fine, score in named:
-            mtext = sent[tokens[i][1]:tokens[j - 1][2]]
-            sub = "n/a"
-            if fine:  # J5 gate: gazetteer fine type must respect the hierarchy
-                parts = fine.split(":", 1)[1].split(".")
-                if len(parts) > 1 and parts[1] in cfg.subtype_hierarchy.get(parts[0], set()):
-                    sub = parts[1]
-                else:
-                    fine = None
-            ont = fine or normalize_ldc_type(ctype, sub, "n/a", cfg.ont_ids)
-            ont = apply_nist_key(mtext, ont, cfg.nist_key)
-            rows.append(
-                (url, sid, f"{url}#s{sid}#e{m_id}", "NAM", mtext, ont, ctype,
-                 sub, "n/a", s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
-                 s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
-                 tokens[j - 1][0], score, sent)
-            )
-            m_id += 1
-        for i, j, hidx, t, s, ss in noms:
-            mtext = sent[tokens[i][1]:tokens[j - 1][2]]
-            ont = normalize_ldc_type(t, s, ss, cfg.ont_ids)
-            ont = apply_nist_key(mtext, ont, cfg.nist_key)
-            rows.append(
-                (url, sid, f"{url}#s{sid}#e{m_id}", "NOM", mtext, ont, t, s, ss,
-                 s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
-                 s_begin + tokens[hidx][1], s_begin + tokens[hidx][2],
-                 tokens[hidx][0], 0.9, sent)
-            )
-            m_id += 1
+        rows.extend(
+            _assemble_rows(url, sid, sent, s_begin, tokens, lows, coarse,
+                           named, claimed, cfg)
+        )
     return rows
 
 

@@ -48,9 +48,14 @@ def build_triples(mentions: DataFrame, links: DataFrame, clusters: DataFrame,
 
 
 def build_graph(mentions: DataFrame, links: DataFrame):
-    """Full E3: returns (triples, nodes, edges) DataFrames."""
-    clusters = cluster_mentions(mentions, links)
-    entities = canonical_entities(clusters, links, mentions)
+    """Full E3: returns (triples, nodes, edges) DataFrames.
+
+    clusters/entities are localCheckpoint()ed: they fan out into 3+ union
+    branches of the triples frame plus nodes — without materialization every
+    branch re-runs the contraction joins and the CC mapping (measured ~30
+    redundant jobs per kg_triples run at bench scale)."""
+    clusters = cluster_mentions(mentions, links).localCheckpoint()
+    entities = canonical_entities(clusters, links, mentions).localCheckpoint()
     triples = build_triples(mentions, links, clusters, entities)
     nodes = entities.select(
         F.col("eid").alias("node_id"), F.col("cname").alias("canonical_name")

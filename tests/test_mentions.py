@@ -120,3 +120,61 @@ def test_mentions_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, discover_mentions(pages).collect()))
     b = sorted(map(tuple, discover_mentions(pages.repartition(13)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- NP chunker
+
+def test_multiword_np_with_head_finding():
+    """Multi-word NPs (nominal.py:26-43) with the reference head recursion
+    (tree.py:64-76): head = last noun of the core, span covers det+mods."""
+    rows = rows_for("The rebel military commander attacked .")
+    noms = get(rows, "NOM")
+    assert any(
+        r[4] == "The rebel military commander" and r[13] == "commander"
+        and r[5] == "ldcOnt:PER.MilitaryPersonnel"
+        for r in noms
+    ), noms
+
+
+def test_pp_attached_np_head_is_first_core():
+    """(NP (NP the commander) (PP of (NP the army))): no top-level NN ->
+    recurse into the last top-level NP child -> 'commander'."""
+    rows = rows_for("The commander of the army spoke .")
+    noms = get(rows, "NOM")
+    outer = [r for r in noms if r[4] == "The commander of the army"]
+    assert outer and outer[0][13] == "commander"
+    # the inner PP object keeps its own head
+    assert any(r[4] == "the army" and r[13] == "army" for r in noms)
+    # W2: 'The commander' core is subsumed by the outer span (same head)
+    assert not any(r[4] == "The commander" for r in noms)
+
+
+def test_find_head_of_np_recursion_unit():
+    from named_entity_discovery_and_linking_spark.operators.mentions import (
+        _NPNode,
+        find_head_of_np,
+    )
+
+    # (NP (DT the) (JJ rebel) (NN commander) (NN army)) -> last top-level NN
+    core = _NPNode("NP", [_NPNode("DT", index=0), _NPNode("JJ", index=1),
+                          _NPNode("NN", index=2), _NPNode("NN", index=3)])
+    assert find_head_of_np(core) == 3
+    # composite: no top-level NN -> last top-level NP -> recurse
+    inner = _NPNode("NP", [_NPNode("DT", index=4), _NPNode("NN", index=5)])
+    pp = _NPNode("PP", [_NPNode("IN", index=3), inner])
+    outer = _NPNode("NP", [core, pp])
+    # NOTE: outer has top-level NP children only -> last NP child is `pp`?
+    # no: PP is not NP; the last (only) NP child is `core` -> head index 3
+    assert find_head_of_np(outer) == 3
+    # no NN anywhere -> last leaf
+    bare = _NPNode("NP", [_NPNode("DT", index=0), _NPNode("JJ", index=1)])
+    assert find_head_of_np(bare) == 1
+
+
+def test_single_word_np_filters_reference_sets():
+    """F3 single-token filters use the reference's literal sets
+    (nominal.py:48-50): quantifiers/bare-NP words drop, plain nouns pass."""
+    rows = rows_for("Soldiers gathered near the bridge .")
+    noms = get(rows, "NOM")
+    assert any(r[13].lower() == "soldiers" for r in noms)
+    assert any(r[13] == "bridge" for r in noms)
