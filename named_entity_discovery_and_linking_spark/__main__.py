@@ -25,7 +25,12 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="named_entity_discovery_and_linking_spark")
-    ap.add_argument("--pages", required=True, help="parquet dir with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--run-csr", dest="run_csr", action="store_true",
+                    help="CSR linking mode (linking.py:480-700 --run_csr equivalent)")
+    ap.add_argument("--lang", choices=["en", "ru", "uk", "img"], default="en",
+                    help="CSR language route (run_linking.sh arg 3)")
+    ap.add_argument("--in-dir", dest="in_dir", default=None, help="CSR input dir (*.csr.json)")
+    ap.add_argument("--pages", default=None, help="parquet dir with (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True, help="output root (tables written under it)")
     ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
     ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
@@ -49,6 +54,27 @@ def main(argv=None):
     else:
         spark = get_spark("ndl-kg-job", master=args.master)
 
+    if args.run_csr:
+        if not args.in_dir:
+            ap.error("--run-csr requires --in-dir")
+        from .plans.csr import run_csr
+
+        kb = aliases = None
+        if args.kb:
+            from .sources.kb_tsv import load_aliases_tab, load_entities_tab
+
+            kb = load_entities_tab(spark, args.kb)
+            aliases = (
+                load_aliases_tab(spark, args.aliases)
+                if args.aliases
+                else spark.createDataFrame([], "eid string, alias string")
+            )
+        n = run_csr(spark, args.in_dir, args.out, args.lang, kb, aliases)
+        print(f"done: {n} CSR files -> {args.out}")
+        return 0
+
+    if not args.pages:
+        ap.error("--pages is required (or use --run-csr)")
     pages = spark.read.parquet(args.pages)
 
     lineage_dir = os.path.join(args.out, "_lineage")

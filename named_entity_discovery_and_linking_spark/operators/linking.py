@@ -468,7 +468,8 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------ full E2 plan
 
-def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> DataFrame:
+def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
+                  promote: bool = True) -> DataFrame:
     """Full E2: NAM mentions -> links (url, mid, eid, cname, confidence,
     rank, subcomponent).  subcomponent follows the reference encoding:
     0 = EntityLinker.query result, exact AND fuzzy (linking.py:564-568);
@@ -511,7 +512,10 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame) -> Dat
     # promoted names are disjoint from seed names on (lower(name), type): any
     # mention matching a seed is excluded above, so the union lookup below
     # cannot split one mention's confidence across a seed and its duplicate.
-    tmpkb = seed.unionByName(promote_nils(unresolved))
+    # ``promote=False`` = the --run_csr flavor: NILs are looked up against
+    # the tmp KB but never count-promoted (linking.py:579-607 has no
+    # null_counter; registration happens only via cluster election, A3).
+    tmpkb = seed.unionByName(promote_nils(unresolved)) if promote else seed
     tmp_links = tmpkb_lookup(nil_queries, tmpkb)
 
     return kb_links.unionByName(tmp_links)

@@ -67,13 +67,33 @@ def sign_bucket(vec_col, nbits: int = 8):
     )
 
 
+def adaptive_nbits(n: int, target_bucket: int = 64, min_bits: int = 4,
+                   max_bits: int = 16) -> int:
+    """Bucket width as a function of corpus size: 2^nbits buckets sized so
+    the EXPECTED bucket holds ~target_bucket vectors, clamped to
+    [min_bits, max_bits].  A fixed width is quadratic at scale: with nbits
+    frozen the within-bucket pair join is O(sum |b|^2) = O(n^2 / 2^nbits);
+    growing nbits with log2(n) keeps per-bucket work bounded."""
+    import math
+
+    bits = math.ceil(math.log2(n / target_bucket)) if n > target_bucket else min_bits
+    return max(min_bits, min(max_bits, bits))
+
+
 def lsh_bucketed_nn(
-    emb: DataFrame, nbits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    emb: DataFrame, nbits: int | None = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate nearest neighbor within sign-LSH buckets: for every
     vector, the best cosine match sharing its bucket.  Returns
     (vec_id, nn_id, cos).  The join is equi on bucket — shuffle on a
-    low-cardinality key; AQE splits hot buckets."""
+    low-cardinality key; AQE splits hot buckets.
+
+    ``nbits=None`` sizes the bucket width from the corpus count
+    (adaptive_nbits) — one count job up front; on a metastore-backed table
+    at 100 TB, use the table statistics row count instead of a scan."""
+    if nbits is None:
+        nbits = adaptive_nbits(emb.count(), target_bucket)
     b = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         sign_bucket(vec_col, nbits).alias("bucket"),

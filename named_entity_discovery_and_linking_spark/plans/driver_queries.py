@@ -624,6 +624,43 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return S.lsh_bucketed_nn(emb, nbits=8)
 
 
+def q_ann_lsh_adaptive(spark, sf_dir):
+    """Scale-adaptive LSH: bucket width grows with log2(corpus size) so the
+    within-bucket pair join stays O(n * target_bucket) instead of going
+    quadratic at a frozen width (similarity.adaptive_nbits)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.lsh_bucketed_nn(emb, nbits=None)
+
+
+_ANN_LSH_ADAPTIVE_SQL = """
+WITH p AS (
+  SELECT CAST(LEAST(16, GREATEST(4, CASE WHEN cnt > 64
+    THEN CEIL(LOG2(cnt / 64.0)) ELSE 4 END)) AS INT) AS nbits
+  FROM (SELECT count(*) AS cnt FROM embeddings)
+),
+b AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
+    substring({bucket16}, 1, (SELECT nbits FROM p)) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.vid AS vec_id, y.vid AS nn_id,
+         round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid <> y.vid
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM pairs)
+SELECT vec_id, nn_id, cos FROM ranked WHERE rnk = 1
+""".format(
+    bucket16="("
+    + " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+    )
+    + ")"
+)
+
+
 # ---------------------------------------------------- rows-only KG stages
 
 def derived_pages(spark, sf_dir, replicate: int = 1):
@@ -899,6 +936,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_lsh_adaptive": q_ann_lsh_adaptive,
     "kg_mentions": q_kg_mentions,  # golden-parquet oracle (mapInPandas tagger)
     "kg_triples": q_kg_triples,  # golden-parquet oracle (full pipeline)
 }
@@ -994,6 +1032,7 @@ ORACLES = {
     "fingerprint": _fingerprint_sql(),
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
+    "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
     # kg_mentions / kg_triples are not SQL-expressible (mapInPandas tagger +
     # iterative connected components), so their oracle is a frozen golden
     # parquet of the sf0.01 pipeline output — a hash-comparable drift pin.
