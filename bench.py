@@ -38,6 +38,7 @@ HEADLINE = [
     "quality_score",
     "ann_cosine_topk",
     "ann_lsh_bucket",
+    "ann_lsh_adaptive",
 ]
 
 

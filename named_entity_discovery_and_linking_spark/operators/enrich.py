@@ -105,7 +105,14 @@ def gazetteer_substring_vote(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
     the lowercased mention each vote for their fine type; majority wins
     (ties -> lexicographically smallest type).  Expressed as a broadcast
     theta-join (containment predicate) + vote — the reference's per-mention
-    substring scan over 5,290 keys, vectorized."""
+    substring scan over 5,290 keys, vectorized.
+
+    Scale note: the containment predicate has no equi component, so this is
+    a broadcast nested-loop by design — cost is |mentions| x |gaz|
+    comparisons, LINEAR per mention with |gaz| (a few thousand rows) as the
+    constant, identical to the reference's cost model.  It does NOT grow
+    with the corpus squared; the gazetteer side must stay
+    broadcast-small."""
     m = mentions.select("mid", F.lower(F.col("mention")).alias("m_low"))
     g = gaz.select(F.lower(F.col("name")).alias("g_name"), "fine_type")
     hits = m.join(F.broadcast(g), F.col("m_low").contains(F.col("g_name")))

@@ -246,9 +246,14 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         "alias_id", "eid", "cand_name", "cname", "cand_type", "info",
         "info_nfields", "n_tokens",
     )
+    # DISTINCT alias tokens: a duplicated token inside one alias ("new york
+    # new york") must not double-count an AND-semantics match; with the
+    # explode deduped, the rollup can use a plain count(*) instead of the
+    # 2-phase countDistinct (n_tokens keeps the raw length for the
+    # Lucene-closeness proxy)
     a_tok = alias_table.select(
         "alias_id", F.col("cand_type").alias("a_type"), "n_tokens",
-        F.explode("tokens").alias("a_tok"),
+        F.explode(F.array_distinct("tokens")).alias("a_tok"),
     )
     a_gate = (
         (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("a_type").isin("GPE", "LOC"))
@@ -283,7 +288,10 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     exact = (
         q_tok.join(F.broadcast(a_tok), (q_tok.q_tok == a_tok.a_tok) & a_gate)
         .groupBy("mid", "n_q", "alias_id", "n_tokens")
-        .agg(F.countDistinct("q_tok").alias("n_matched"))
+        # count(*) == countDistinct(q_tok) here: q_tokens are array_distinct
+        # and a_tok is deduped per alias, so each (mid, alias, q_tok) joins
+        # at most once — plain count avoids the 2-phase distinct aggregation
+        .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
         .withColumn("d_star", F.lit(0))
         .localCheckpoint()  # feeds the union AND the fuzzy-phase anti-join
@@ -341,8 +349,14 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
 
 def score_candidates(cands: DataFrame, queries: DataFrame) -> DataFrame:
     """F6 type gate + F7 id-dedup + rule scores + W5 argmax tie-keeping
-    (linking.py:150-213), fully columnar."""
-    df = cands.join(queries.select("url", "mid", "ent_name", "ent_type", "ctx_tokens"), "mid")
+    (linking.py:150-213), fully columnar.
+
+    ctx_tokens (the raw-sentence token array the IoU needs) is deliberately
+    NOT joined here: it is only read by ``disambiguate``, and carrying a
+    ~30-element string array through this function's three window sorts
+    doubled the shuffle bytes at bench scale — disambiguate joins it last.
+    """
+    df = cands.join(queries.select("url", "mid", "ent_name", "ent_type"), "mid")
     # F6 type-compat gate (linking.py:151-159)
     gate = (
         (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
@@ -378,10 +392,17 @@ def score_candidates(cands: DataFrame, queries: DataFrame) -> DataFrame:
     return df.filter((F.col("_ncand") == 1) | (F.col("rule_score") == F.col("_max"))).drop("_max")
 
 
-def disambiguate(scored: DataFrame) -> DataFrame:
+def disambiguate(scored: DataFrame, queries: DataFrame | None = None) -> DataFrame:
     """linking.py:284-307 + 333-335: singleton -> confidence 1.0; otherwise
     edit proximity (X6) + context IoU (I1, PER/ORG only; PER +1 for
-    Russia/Ukraine in info), normalized per mention (A7), ranked (W3)."""
+    Russia/Ukraine in info), normalized per mention (A7), ranked (W3).
+
+    ``queries`` supplies ctx_tokens for the IoU; passing it here (instead of
+    carrying the array through score_candidates' windows) keeps the heavy
+    column out of three sorts.  Omit it only if ``scored`` already has a
+    ctx_tokens column."""
+    if queries is not None:
+        scored = scored.join(queries.select("mid", "ctx_tokens"), "mid")
     edit = 1.0 / (F.abs(F.length("cand_name") - F.length("ent_name")) + 1)  # X6
     info_toks = F.array_distinct(F.split(F.col("info"), r"\s+"))
     iou = F.size(F.array_intersect(info_toks, F.col("ctx_tokens"))) / F.size(
@@ -485,16 +506,23 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
     that lookup cannot resolve count toward the >=5 promotion — otherwise a
     seeded name would be registered twice and split its confidence.
     """
+    from ..session import materialize
+
     # alias_table fans out into several broadcast exchanges (token index,
     # variant index, attribute rejoin); without materialization every
-    # broadcast job re-runs clean_kb's dedup window — checkpoint once.
+    # broadcast job re-runs clean_kb's dedup window — checkpoint once
+    # (dimension-scale: localCheckpoint is fine here).
     alias_table = build_alias_table(clean_kb(kb), aliases).localCheckpoint()
     # queries feeds candidate gen, scoring, the NIL anti-join and the tmp-KB
     # lookups; one materialization saves 3+ re-derivations from mentions.
-    queries = _nam_queries(mentions).localCheckpoint()
+    # Data-scale frames use the parquet spill (session.materialize) — object
+    # caching was ~50% GC at bench scale.
+    queries = materialize(_nam_queries(mentions), "queries")
 
     cands = generate_candidates_unified(queries, alias_table, MAX_FUZZY_DIST)
-    scored = disambiguate(score_candidates(cands, queries)).localCheckpoint()
+    scored = materialize(
+        disambiguate(score_candidates(cands, queries), queries), "scored"
+    )
     kb_links = scored.select(
         "url", "mid",
         F.concat(F.lit("refkb:"), F.col("eid")).alias("eid"),

@@ -713,15 +713,19 @@ def kg_pipeline(spark, sf_dir, replicate: int = 1):
     from ..operators.mentions import discover_mentions
     from .graph import build_graph
 
+    from ..session import materialize
+
     pages = derived_pages(spark, sf_dir, replicate)
     kb, al = kb_dfs(spark)
     # url-hash repartition at the materialization boundary: (a) the salted
     # key the north_rule mandates, (b) AQE re-sizes the partition count to
     # the DATA (mentions are ~100x smaller than pages; inheriting the
     # tagger's partition count makes every downstream map stage pay its
-    # task-launch overhead — measured 0.45 s/stage at bench scale)
-    m = discover_mentions(pages).repartition(F.col("url")).localCheckpoint()
-    links = link_mentions(m, kb, al).localCheckpoint()
+    # task-launch overhead — measured 0.45 s/stage at bench scale).
+    # materialize() = parquet spill, not localCheckpoint: these frames are
+    # data-scale and object caching was ~50% GC (see session.materialize)
+    m = materialize(discover_mentions(pages).repartition(F.col("url")), "mentions")
+    links = materialize(link_mentions(m, kb, al), "links")
     return build_graph(m, links)[0]
 
 

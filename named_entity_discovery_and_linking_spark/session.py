@@ -49,9 +49,16 @@ def get_spark(
         # padding every post-shuffle stage back up to defaultParallelism
         # (parallelismFirst=true, the default, schedules ~cores tasks per
         # stage even for KB-sized frames — measured ~0.5 s of pure task-launch
-        # overhead PER STAGE on local[32]; at cluster scale respecting the
-        # 64 MB advisory is also the documented recommendation)
+        # overhead PER STAGE on local[32])...
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # ...BUT this pipeline's shuffles carry narrow rows with heavy
+        # per-row compute (levenshtein verify, window sorts, array math):
+        # at the default 64 MB advisory a 100-MB-but-CPU-bound stage
+        # coalesces to ~2 partitions and starves the cores (measured 2->8
+        # scaling eff 0.37 at 2.56M pages).  4 MB keeps KB-scale dimension
+        # stages at 1 task while giving data-scale stages core-saturating
+        # partition counts.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
@@ -65,6 +72,42 @@ def get_spark(
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def materialize(df, tag: str = "stage"):
+    """Stage-boundary materialization via a parquet spill: plan truncation
+    like ``localCheckpoint()`` but SERIALIZED columnar storage instead of
+    deserialized JVM object caching.  localCheckpoint's MEMORY_AND_DISK
+    object store measured ~50% of task time in GC on multi-million-row
+    frames (event log: 107 s JVM GC inside an 84 s checkpoint stage);
+    a parquet roundtrip keeps the heap flat and reads back vectorized.
+    Use for DATA-scale frames; keep localCheckpoint for dimension-scale
+    ones (the write+read costs two jobs).  On a cluster this is the
+    standard persisted-stage pattern (checkpoint dir / table handoff)."""
+    import uuid
+
+    path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"ndl-mat-{os.getpid()}-{tag}-{uuid.uuid4().hex[:8]}",
+    )
+    df.write.parquet(path)
+    _MATERIALIZED.append(path)
+    return df.sparkSession.read.parquet(path)
+
+
+_MATERIALIZED: list = []
+
+
+def _cleanup_materialized() -> None:  # pragma: no cover - process teardown
+    import shutil
+
+    for p in _MATERIALIZED:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_materialized)
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -77,7 +77,7 @@ def test_rule_scores_exact_arithmetic(spark, alias_table):
 def test_singleton_confidence_one(spark, alias_table):
     # mariupol has exactly one candidate -> confidence 1.0 (linking.py:333-335)
     q = mk_queries(spark, [("u", "m1", "mariupol", "GPE", "x")])
-    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q))
+    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q), q)
     rows = d.collect()
     assert len(rows) == 1 and rows[0]["confidence"] == 1.0
 
@@ -86,7 +86,7 @@ def test_confidence_normalization_sums_to_one(spark, alias_table):
     # odessa: UA + US survive W5? UA: 1+1+1+1=4, US: 1+1+1-0.5=2.5, CA cleaned out
     # -> singleton again; use a tie-producing query instead: viktor marchenko PER
     q = mk_queries(spark, [("u", "m1", "viktor marchenko", "PER", "viktor marchenko in kyiv")])
-    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q))
+    d = disambiguate(score_candidates(generate_candidates(q, alias_table, 0), q), q)
     rows = d.collect()
     if len(rows) > 1:
         assert abs(sum(r["confidence"] for r in rows) - 1.0) < 1e-9  # A7
