@@ -458,6 +458,260 @@ SELECT mid, mention, fb_id, wiki_id FROM matched WHERE rn = 1
 """
 
 
+def q_fringe_merge(spark, sf_dir):
+    """J10 (linking.py:533-551) through merge_fringe_links: native and
+    romanized-fringe link sets derived from tokens; per (mid, eid) the
+    confidences ADD capped at 1.0, re-ranked."""
+    from ..operators.enrich import merge_fringe_links
+
+    tok = _tokens(spark, sf_dir)
+    base = tok.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat_ws(":", "doc_id", "pos").alias("mid"),
+        F.col("word").alias("eid"), F.col("word").alias("cname"),
+        F.lit(0).alias("subcomponent"),
+    )
+    native = base.withColumn(
+        "confidence", ((F.col("mid").substr(-1, 1).cast("int") % 7 + 1) / 10.0)
+    ).filter(F.expr("CAST(split(mid, ':')[1] AS INT) % 3 = 0"))
+    fringe = base.withColumn(
+        "confidence", ((F.col("mid").substr(-1, 1).cast("int") % 5 + 1) / 10.0)
+    ).filter(F.expr("CAST(split(mid, ':')[1] AS INT) % 2 = 0"))
+    out = merge_fringe_links(native, fringe)
+    return out.select("mid", "eid", F.round("confidence", 6).alias("conf"), "rank")
+
+
+_FRINGE_SQL = f"""
+WITH tok AS ({_TOKENS_SQL}),
+base AS (
+  SELECT doc_id || ':' || pos AS mid, word AS eid, pos,
+         CAST(substring(doc_id || ':' || pos, -1, 1) AS INT) AS lastd
+  FROM tok
+),
+native AS (SELECT mid, eid, (lastd % 7 + 1) / 10.0 AS c_n FROM base WHERE pos % 3 = 0),
+fringe AS (SELECT mid, eid, (lastd % 5 + 1) / 10.0 AS c_f FROM base WHERE pos % 2 = 0),
+merged AS (
+  SELECT coalesce(n.mid, f.mid) AS mid, coalesce(n.eid, f.eid) AS eid,
+         LEAST(1.0, coalesce(n.c_n, 0.0) + coalesce(f.c_f, 0.0)) AS confidence
+  FROM native n FULL OUTER JOIN fringe f ON n.mid = f.mid AND n.eid = f.eid
+)
+SELECT mid, eid, round(confidence, 6) AS conf,
+       CAST(row_number() OVER (PARTITION BY mid ORDER BY confidence DESC, eid ASC) AS INT) AS rank
+FROM merged
+"""
+
+
+def q_subtype_vote(spark, sf_dir):
+    """A4 (run_multi_ner.py:479-491) through enrich.subtype_vote: span votes
+    derived from tokens; majority subtype + vote share; the >10-votes
+    distrust rule (ner.py:368-369) drops hot spans."""
+    from ..operators.enrich import subtype_vote
+
+    votes = _tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        (F.col("pos") % 5).cast("int").alias("sid"),
+        (F.col("pos") % 17).cast("int").alias("tok_begin"),
+        (F.col("pos") % 17 + 1).cast("int").alias("tok_end"),
+        F.substring("word", 1, 1).alias("subtype"),
+    )
+    return subtype_vote(votes)
+
+
+_SUBTYPE_VOTE_SQL = f"""
+WITH votes AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, CAST(pos % 5 AS INT) AS sid,
+         CAST(pos % 17 AS INT) AS tok_begin, CAST(pos % 17 + 1 AS INT) AS tok_end,
+         substring(word, 1, 1) AS subtype
+  FROM ({_TOKENS_SQL})
+),
+counts AS (
+  SELECT url, sid, tok_begin, tok_end, subtype, count(*) AS votes
+  FROM votes GROUP BY 1, 2, 3, 4, 5
+),
+spans AS (
+  SELECT url, sid, tok_begin, tok_end, CAST(SUM(votes) AS BIGINT) AS total
+  FROM counts GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url, sid, tok_begin, tok_end ORDER BY votes DESC, subtype ASC) AS rn
+  FROM counts
+)
+SELECT b.url, b.sid, b.tok_begin, b.tok_end, b.subtype, b.votes,
+       round(b.votes / s.total, 6) AS vote_share
+FROM best b JOIN spans s USING (url, sid, tok_begin, tok_end)
+WHERE b.rn = 1 AND s.total <= 10
+"""
+
+GAZ_SUBSTRINGS = [("par", "T.Par"), ("spark", "T.Spark"), ("sca", "T.Sca"),
+                  ("an", "T.An"), ("ha", "T.Ha")]
+
+
+def q_gazetteer_vote(spark, sf_dir):
+    """A5/J4 (gazetteer.py:54-69 lookup_per) through
+    gazetteer_substring_vote: gazetteer names CONTAINED in the mention each
+    vote for their fine type; majority wins, ties lexicographic."""
+    from ..operators.enrich import gazetteer_substring_vote
+
+    m = _tokens(spark, sf_dir).select(F.col("word").alias("mid"), F.col("word").alias("mention")).distinct()
+    gaz = spark.createDataFrame(GAZ_SUBSTRINGS, "name string, fine_type string")
+    return gazetteer_substring_vote(m, gaz)
+
+
+_GAZ_VOTE_SQL = f"""
+WITH m AS (SELECT DISTINCT word AS mid FROM ({_TOKENS_SQL})),
+gaz(name, fine_type) AS (VALUES {", ".join(f"('{n}','{t}')" for n, t in GAZ_SUBSTRINGS)}),
+hits AS (
+  SELECT m.mid, g.fine_type, count(*) AS votes
+  FROM m JOIN gaz g ON position(g.name IN m.mid) > 0
+  GROUP BY 1, 2
+)
+SELECT mid, fine_type AS voted_type, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY mid ORDER BY votes DESC, fine_type ASC) rn
+  FROM hits
+) WHERE rn = 1
+"""
+
+
+def q_wiki_map(spark, sf_dir):
+    """J8 (linking.py:390-402) through enrich.attach_wiki: broadcast
+    eid -> wikipedia-url dimension joined onto links."""
+    from ..operators.enrich import attach_wiki
+
+    tok = _tokens(spark, sf_dir).filter(F.col("word").isin(GAZ_WORDS))
+    links = tok.select(
+        F.concat_ws(":", "doc_id", "pos").alias("mid"),
+        F.concat(F.lit("refkb:"), F.col("word")).alias("eid"),
+    )
+    wiki = (
+        _tokens(spark, sf_dir).select("word").distinct()
+        .filter(F.length("word") >= 5)
+        .select(F.col("word").alias("eid"), F.concat(F.lit("https://w/"), F.col("word")).alias("wiki_url"))
+    )
+    return attach_wiki(links, wiki).select("mid", "eid", "wiki_url")
+
+
+_WIKI_MAP_SQL = f"""
+WITH tok AS ({_TOKENS_SQL}),
+links AS (
+  SELECT doc_id || ':' || pos AS mid, 'refkb:' || word AS eid
+  FROM tok WHERE word IN ({_sql_list(GAZ_WORDS)})
+),
+wiki AS (
+  SELECT DISTINCT 'refkb:' || word AS eid, 'https://w/' || word AS wiki_url
+  FROM tok WHERE len(word) >= 5
+)
+SELECT l.mid, l.eid, w.wiki_url FROM links l LEFT JOIN wiki w ON l.eid = w.eid
+"""
+
+TITLE_WORDS = ["spark", "scan"]
+PER_MARKERS = ["merge"]
+
+
+def q_title_validity(spark, sf_dir):
+    """J6 (filler.py:36-43): title tokens survive only in docs that contain
+    a PER marker — a semi-join against a per-doc existence aggregate."""
+    tok = _tokens(spark, sf_dir)
+    titles = tok.filter(F.col("word").isin(TITLE_WORDS))
+    has_per = tok.filter(F.col("word").isin(PER_MARKERS)).select("doc_id").distinct()
+    return titles.join(has_per, "doc_id", "left_semi").select("doc_id", "pos", "word")
+
+
+_TITLE_VALIDITY_SQL = f"""
+WITH tok AS ({_TOKENS_SQL})
+SELECT doc_id, pos, word FROM tok t
+WHERE word IN ({_sql_list(TITLE_WORDS)})
+AND EXISTS (SELECT 1 FROM tok p WHERE p.doc_id = t.doc_id AND p.word IN ({_sql_list(PER_MARKERS)}))
+"""
+
+
+def q_head_dedup(spark, sf_dir):
+    """W2 (nominal.py:75-86): one NP per head index, largest span wins
+    (ties -> earliest begin)."""
+    spans = _tokens(spark, sf_dir).select(
+        "doc_id", (F.col("pos") % 29).alias("head_index"),
+        F.length("word").alias("span_len"), F.col("pos").alias("char_begin"),
+    )
+    w = Window.partitionBy("doc_id", "head_index").orderBy(
+        F.col("span_len").desc(), F.col("char_begin").asc()
+    )
+    return (
+        spans.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("doc_id", "head_index", "char_begin", "span_len")
+    )
+
+
+_HEAD_DEDUP_SQL = f"""
+SELECT doc_id, head_index, char_begin, span_len FROM (
+  SELECT doc_id, pos % 29 AS head_index, len(word) AS span_len, pos AS char_begin,
+         row_number() OVER (PARTITION BY doc_id, pos % 29
+                            ORDER BY len(word) DESC, pos ASC) AS rn
+  FROM ({_TOKENS_SQL})
+) WHERE rn = 1
+"""
+
+J5_SUBTYPES = ["Government", "Politician", "UrbanArea", "Combatant"]
+
+
+def q_subtype_attach(spark, sf_dir):
+    """J5 (ner.py:367-382) through enrich.attach_subtypes: subtype spans
+    match mentions on the END offset and must be legal for the coarse type
+    per SUBTYPE_HIERARCHY."""
+    from ..fixtures.generator import SUBTYPE_HIERARCHY
+    from ..operators.enrich import attach_subtypes
+
+    tok = _tokens(spark, sf_dir).filter(F.col("word").isin(list(MENTION_TYPES)))
+    type_map = F.create_map(*[F.lit(x) for kv in MENTION_TYPES.items() for x in kv])
+    mentions = tok.select(
+        F.col("doc_id").cast("string").alias("url"), F.lit(0).alias("sid"),
+        F.concat_ws(":", "doc_id", "pos").alias("mid"),
+        type_map[F.col("word")].alias("coarse_type"),
+        F.col("pos").alias("char_end"), F.lit("n/a").alias("subtype"),
+    )
+    spans = _tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.lit(0).alias("sid"),
+        F.col("pos").alias("tok_end"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in J5_SUBTYPES]), (F.col("pos") % 4 + 1).cast("int")
+        ).alias("subtype"),
+    )
+    hier = spark.createDataFrame(
+        [(t, s) for t, subs in SUBTYPE_HIERARCHY.items() for s in subs],
+        "type string, subtype string",
+    )
+    return attach_subtypes(mentions, spans, hier).select("mid", "coarse_type", "subtype")
+
+
+def _subtype_attach_sql() -> str:
+    from ..fixtures.generator import SUBTYPE_HIERARCHY
+
+    hier_vals = ", ".join(
+        f"('{t}','{s}')" for t, subs in SUBTYPE_HIERARCHY.items() for s in subs
+    )
+    sub_arr = "[" + ", ".join(f"'{s}'" for s in J5_SUBTYPES) + "]"
+    return f"""
+WITH tok AS ({_TOKENS_SQL}),
+mentions AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, doc_id || ':' || pos AS mid,
+         CASE word {"".join(f"WHEN '{w}' THEN '{t}' " for w, t in MENTION_TYPES.items())}END AS coarse_type,
+         pos AS char_end
+  FROM tok WHERE word IN ({_sql_list(MENTION_TYPES)})
+),
+spans AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, pos AS tok_end,
+         list_extract({sub_arr}, CAST(pos % 4 AS INT) + 1) AS subtype
+  FROM tok
+),
+hier(type, subtype) AS (VALUES {hier_vals}),
+legal AS (
+  SELECT s.url, s.tok_end, s.subtype, h.type FROM spans s JOIN hier h ON s.subtype = h.subtype
+)
+SELECT m.mid, m.coarse_type, coalesce(l.subtype, 'n/a') AS subtype
+FROM mentions m LEFT JOIN legal l
+ON m.url = l.url AND m.char_end = l.tok_end AND m.coarse_type = l.type
+"""
+
+
 def q_conf_normalize(spark, sf_dir):
     """A7 (linking.py:303-305): per-group score normalization as a window."""
     li = _read(spark, sf_dir, "lineitem")
@@ -920,6 +1174,13 @@ QUERIES = {
     "nam_nom_dedup": q_nam_nom_dedup,
     "type_normalize": q_type_normalize,
     "edl_merge": q_edl_merge,
+    "fringe_merge": q_fringe_merge,
+    "subtype_vote": q_subtype_vote,
+    "gazetteer_vote": q_gazetteer_vote,
+    "wiki_map": q_wiki_map,
+    "title_validity": q_title_validity,
+    "head_dedup": q_head_dedup,
+    "subtype_attach": q_subtype_attach,
     "conf_normalize": q_conf_normalize,
     "top1_per_group": q_top1_per_group,
     "argmax_tie_keep": q_argmax_tie_keep,
@@ -965,6 +1226,13 @@ ORACLES = {
     "nam_nom_dedup": _NAM_NOM_SQL,
     "type_normalize": _type_normalize_sql(),
     "edl_merge": _EDL_MERGE_SQL,
+    "fringe_merge": _FRINGE_SQL,
+    "subtype_vote": _SUBTYPE_VOTE_SQL,
+    "gazetteer_vote": _GAZ_VOTE_SQL,
+    "wiki_map": _WIKI_MAP_SQL,
+    "title_validity": _TITLE_VALIDITY_SQL,
+    "head_dedup": _HEAD_DEDUP_SQL,
+    "subtype_attach": _subtype_attach_sql(),
     "conf_normalize": (
         "SELECT l_orderkey, l_linenumber, "
         "round(l_extendedprice / SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS share "
