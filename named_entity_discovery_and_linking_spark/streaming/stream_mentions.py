@@ -76,3 +76,49 @@ def run_stream_to_table(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def stateful_nil_promotion(nil_stream: DataFrame, threshold: int | None = None) -> DataFrame:
+    """A1/SNK4 as a TRUE stateful streaming operator
+    (``applyInPandasWithState``): the reference's only mutable state is the
+    temporary KB and its NIL counter (linking.py:338-388, 469-475) — here
+    the running per-(name, type) NIL count lives in Spark's state store and
+    a promotion row (name, type, tmp_eid, nil_count) is emitted EXACTLY ONCE
+    when the cumulative count crosses the threshold, across micro-batches
+    and restarts (checkpointed state).
+
+    tmp_eid uses the same deterministic sha1 as the batch path
+    (operators/linking._tmp_eid), so streaming promotions and batch
+    promotions mint identical ids.  Input: a streaming DataFrame with
+    (name string, type string), one row per still-NIL mention.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.linking import TMPKB_PROMOTE_MIN
+
+    thr = threshold if threshold is not None else TMPKB_PROMOTE_MIN
+
+    def update(key, pdfs, state):
+        import hashlib
+
+        import pandas as pd
+
+        cnt, promoted = state.get if state.exists else (0, False)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        rows = []
+        if not promoted and cnt >= thr:
+            name, typ = key
+            eid = "@" + hashlib.sha1(f"{name}|{typ}".encode()).hexdigest()[:12]
+            rows.append((name, typ, eid, cnt))
+            promoted = True
+        state.update((cnt, bool(promoted)))
+        yield pd.DataFrame(rows, columns=["name", "type", "tmp_eid", "nil_count"])
+
+    return nil_stream.groupBy("name", "type").applyInPandasWithState(
+        update,
+        outputStructType="name string, type string, tmp_eid string, nil_count long",
+        stateStructType="cnt long, promoted boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -91,3 +91,52 @@ def test_lineage_rerun_is_noop(spark, tmp_path):
     run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=4)
     rows2 = read_lineage(spark, lin).count()
     assert rows1 == rows2  # nothing recomputed, nothing re-marked
+
+
+def test_stateful_nil_promotion_across_microbatches(spark, tmp_path):
+    """The running NIL count lives in the state store: counts accumulate
+    ACROSS micro-batches (maxFilesPerTrigger=1 -> one file per batch), the
+    promotion fires exactly once at the crossing, and the minted id equals
+    the batch path's deterministic sha1 (linking._tmp_eid)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from named_entity_discovery_and_linking_spark.operators.linking import promote_nils
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stateful_nil_promotion,
+    )
+
+    in_dir = tmp_path / "nils"
+    in_dir.mkdir()
+    # batch 1: 3x (mh17, VEH) — below threshold; batch 2: 2 more -> crosses 5;
+    # batch 3: 2 more -> must NOT re-emit; (kyiv, GPE) never reaches 5
+    pd.DataFrame({"name": ["mh17"] * 3 + ["kyiv"], "type": ["VEH"] * 3 + ["GPE"]}) \
+        .to_parquet(in_dir / "b1.parquet", index=False)
+    pd.DataFrame({"name": ["mh17"] * 2, "type": ["VEH"] * 2}) \
+        .to_parquet(in_dir / "b2.parquet", index=False)
+    pd.DataFrame({"name": ["mh17"] * 2 + ["kyiv"], "type": ["VEH"] * 2 + ["GPE"]}) \
+        .to_parquet(in_dir / "b3.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("name string, type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stateful_nil_promotion(stream)
+        .writeStream.format("memory").queryName("promos")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM promos").collect()
+    assert len(rows) == 1  # exactly one promotion, despite batch 3 adding more
+    r = rows[0]
+    assert (r["name"], r["type"], r["nil_count"]) == ("mh17", "VEH", 5)
+    # id parity with the batch operator's deterministic minting
+    batch = promote_nils(
+        spark.createDataFrame([("mh17", "VEH")] * 5, "ent_name string, ent_type string")
+    ).collect()[0]
+    assert r["tmp_eid"] == batch["tmp_eid"]
