@@ -74,6 +74,9 @@ def read_csr_dir(spark, in_dir: str):
         os.path.join(in_dir, f) for f in sorted(os.listdir(in_dir))
         if f.endswith(".csr.json")
     ]
+    if not paths:  # spark.read.text([]) raises; an empty corpus is not an error
+        empty = lambda s: spark.createDataFrame([], s)  # noqa: E731
+        return empty(ENTITY_SCHEMA), empty(SENTENCE_SCHEMA), empty(CLUSTER_SCHEMA)
     raw = spark.read.text(paths, wholetext=True).selectExpr(
         "input_file_name() AS path", "value"
     )

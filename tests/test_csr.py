@@ -123,3 +123,10 @@ def test_run_csr_rewrites_files(spark, csr_dir, tmp_path):
     assert x1[0]["id"].startswith("refkb:") and x1[0]["subcomponent"] == 0
     assert by_id["e3"]["interp"]["xref"][0]["subcomponent"] == 2
     assert "xref" not in by_id["e5"].get("interp", {})  # nominal untouched
+
+
+def test_read_csr_dir_empty(spark, tmp_path):
+    ents, sents, clus = read_csr_dir(spark, str(tmp_path))
+    assert ents.count() == 0 and sents.count() == 0 and clus.count() == 0
+    kb, al = kb_dfs(spark)
+    assert link_csr(ents, sents, clus, kb, al, "en").count() == 0
