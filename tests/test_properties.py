@@ -107,3 +107,64 @@ def test_portable_hash_matches_duckdb(s):
     spark_style = int(hx, 16)  # conv(substring(md5,1,15),16,10)
     duck_style = int("0x" + hx, 16)  # ('0x'||substring(md5,1,15))::BIGINT
     assert spark_style == duck_style < 2**60
+
+
+# ------------------------------------------------- SymSpell deletion join
+
+def _py_deletions(s: str, d: int) -> set:
+    """Pure-Python mirror of linking.deletion_variants: all strings
+    reachable by deleting up to d characters."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abcd", max_size=7),
+    st.text(alphabet="abcd", max_size=7),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=500, deadline=None)
+def test_deletion_neighborhood_completeness(q, a, d):
+    """The guarantee the equi-keyed fuzzy join rests on: lev(q, a) <= d
+    implies q and a share a <=d-deletion variant — so the variant equi-join
+    retrieves a SUPERSET of the true matches (the levenshtein post-filter
+    then makes it exact).  Also: any shared variant bounds lev by 2d
+    (soundness of the candidate set's blow-up)."""
+    shared = _py_deletions(q, d) & _py_deletions(a, d)
+    if _lev(q, a) <= d:
+        assert shared, (q, a, d)
+    if shared:
+        assert _lev(q, a) <= 2 * d
+
+
+def test_deletion_variants_sql_matches_python(spark):
+    """The Spark SQL expression (nested transform/flatten) enumerates the
+    same variant sets as the pure-Python reference enumeration."""
+    from pyspark.sql import functions as F
+
+    from named_entity_discovery_and_linking_spark.operators.linking import deletion_variants
+
+    words = ["", "a", "ab", "kyiv", "kramatorsk", "donetsk", "x" * 12]
+    df = spark.createDataFrame([(w, d) for w in words for d in (0, 1, 2)],
+                               "w string, budget int")
+    got = df.select("w", "budget", deletion_variants("w", "budget").alias("v")).collect()
+    for r in got:
+        assert set(r["v"]) == _py_deletions(r["w"], r["budget"]), (r["w"], r["budget"])
