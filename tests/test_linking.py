@@ -127,3 +127,11 @@ def test_link_mentions_end_to_end_deterministic(spark, kb):
     assert len(l1) > 0
     # every linked eid is prefixed (linking.py:405-407)
     assert all(r[2].startswith(("refkb:", "tmpkb:")) for r in l1)
+    # determinism across KB partitionings too: alias_id is content-derived,
+    # so reshuffling/reordering the KB side must not move any tie-break
+    # (the round-1 monotonically_increasing_id bug surface)
+    l3 = sorted(map(tuple, link_mentions(
+        m, e.repartition(7).sortWithinPartitions("name"),
+        a.repartition(5).sortWithinPartitions("alias"),
+    ).filter("rank=1").collect()))
+    assert l1 == l3
