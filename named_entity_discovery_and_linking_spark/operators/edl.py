@@ -8,7 +8,14 @@ offset is inclusive, so it is compared as ``edl.char_end + 1``).  The
 reference's inner loop OVERWRITES on every hit, so the LAST matching tab line
 wins — reproduced here with a max-line-number window.
 
-Spark shape: an EQUI join on the mention text plus a band predicate on the
+Document scoping: the reference pairs each NER file with ITS OWN EDL file
+(unify_edl.py:55-59), so the match is implicitly per-document — char offsets
+restart at 0 in every doc.  We make that explicit: the EDL span's ``doc``
+prefix (``doc:begin-end``) is parsed and kept, and ``merge_edl`` joins on
+(document, surface text) so a multi-doc EDL feed can never bleed ids across
+documents.
+
+Spark shape: an EQUI join on (doc, text) plus a band predicate on the
 offsets — a hash join with a residual filter, never a nested loop (the equi
 key carries the join).  The EDL side of a real corpus is the same order of
 magnitude as the mentions side, so no broadcast hint: AQE picks the strategy.
@@ -27,16 +34,23 @@ _EDL_COLS = [
 
 
 def read_edl_tab(spark, path: str) -> DataFrame:
-    """SRC: parse an EDL tab file into (line_no, mention, char_begin,
+    """SRC: parse EDL tab file(s) into (doc, line_no, mention, char_begin,
     char_end, fb_id, wiki_id, form).  Span format ``doc:begin-end``
-    (unify_edl.py:12-14); offsets kept as in the file (end inclusive)."""
+    (unify_edl.py:12-14); offsets kept as in the file (end inclusive).
+
+    ``path`` may be a single file, a glob, or a directory: line numbers are
+    derived PER INPUT FILE (window partitioned by ``input_file_name()``), so
+    the last-line-wins rule never depends on cross-file partition
+    enumeration order.  Within a file, splits get increasing partition ids
+    in byte-offset order, so ``monotonically_increasing_id`` is
+    read-order-stable inside the per-file window.
+    """
     raw = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("_file_order"), "value"
+        F.input_file_name().alias("_src"),
+        F.monotonically_increasing_id().alias("_file_order"),
+        "value",
     )
-    # line numbers must be content-stable for the last-wins rule; the file is
-    # read in order within a partition, and a single text file is one
-    # partition — still, derive line_no from a window over the read order.
-    w = Window.orderBy("_file_order")
+    w = Window.partitionBy("_src").orderBy("_file_order")
     parts = F.split(F.col("value"), "\t")
     return (
         raw.withColumn("line_no", F.row_number().over(w))
@@ -44,20 +58,30 @@ def read_edl_tab(spark, path: str) -> DataFrame:
             "line_no",
             *[parts.getItem(i).alias(c) for i, c in enumerate(_EDL_COLS)],
         )
+        .withColumn("doc", F.regexp_extract("span", r"^(.*):\d+-\d+$", 1))
         .withColumn("char_begin", F.regexp_extract("span", r":(\d+)-", 1).cast("int"))
         .withColumn("char_end", F.regexp_extract("span", r"-(\d+)$", 1).cast("int"))
-        .select("line_no", "mention", "char_begin", "char_end", "fb_id", "wiki_id", "form")
+        .select("doc", "line_no", "mention", "char_begin", "char_end",
+                "fb_id", "wiki_id", "form")
     )
 
 
 def merge_edl(mentions: DataFrame, edl: DataFrame) -> DataFrame:
     """J7 (unify_edl.py:19-33): attach fb_id/wiki_id to mentions.
 
-    ``edl`` columns: (line_no, mention, char_begin, char_end, fb_id,
-    wiki_id, form) with form in {NAM, NOM} and char_end INCLUSIVE.
+    ``mentions`` must carry ``url`` (its document key); ``edl`` columns:
+    (doc, line_no, mention, char_begin, char_end, fb_id, wiki_id, form)
+    with form in {NAM, NOM} and char_end INCLUSIVE.  Matches are scoped to
+    ``url == doc`` — offsets restart per document, so a cross-document
+    surface-text collision must never transfer ids.
     Returns mentions + (fb_id, wiki_id), null where no EDL row matched.
     """
+    if "url" not in mentions.columns:
+        raise ValueError("merge_edl: mentions must carry a 'url' document key")
+    if "doc" not in edl.columns:
+        raise ValueError("merge_edl: edl must carry a 'doc' column (span prefix)")
     e = edl.select(
+        F.col("doc").alias("e_doc"),
         F.col("line_no").alias("e_line"),
         F.col("mention").alias("e_mention"),
         F.col("char_begin").alias("e_begin"),
@@ -68,20 +92,22 @@ def merge_edl(mentions: DataFrame, edl: DataFrame) -> DataFrame:
     )
     nam_cond = (
         (F.col("category") == "NAM") & (F.col("e_form") == "NAM")
+        & (F.col("url") == F.col("e_doc"))
         & (F.col("mention") == F.col("e_mention"))
         & (F.abs(F.col("e_begin") - F.col("char_begin")) <= 1)
         & (F.abs(F.col("e_end") - F.col("char_end")) <= 1)
     )
     nom_cond = (
         (F.col("category") == "NOM") & (F.col("e_form") == "NOM")
+        & (F.col("url") == F.col("e_doc"))
         & (F.col("headword") == F.col("e_mention"))
         & (F.abs(F.col("e_begin") - F.col("head_begin")) <= 1)
         & (F.abs(F.col("e_end") - F.col("head_end")) <= 1)
     )
-    # equi key = surface text; the band rides as a residual predicate.
-    # NAM joins on mention, NOM on headword — two joins, one union, so each
-    # keeps a pure equi key (a single join on an OR of equi conditions would
-    # degrade to a nested loop).
+    # equi key = (document, surface text); the band rides as a residual
+    # predicate.  NAM joins on mention, NOM on headword — two joins, one
+    # union, so each keeps a pure equi key (a single join on an OR of equi
+    # conditions would degrade to a nested loop).
     nam = mentions.filter(F.col("category") == "NAM").join(
         e.filter(F.col("e_form") == "NAM"), nam_cond, "left"
     )

@@ -407,6 +407,7 @@ def q_edl_merge(spark, sf_dir):
     tok = _tokens(spark, sf_dir).filter(F.col("word").isin(GAZ_WORDS))
     base = F.col("doc_id") * 100000 + F.col("pos") * 20
     mentions = tok.select(
+        F.col("doc_id").cast("string").alias("url"),
         F.concat_ws(":", "doc_id", "pos").alias("mid"),
         F.lit("NAM").alias("category"),
         F.col("word").alias("mention"),
@@ -421,6 +422,7 @@ def q_edl_merge(spark, sf_dir):
     )
     vbase = F.col("doc_id") * 100000 + F.col("pos") * 20
     edl = variant.select(
+        F.col("doc_id").cast("string").alias("doc"),
         ((F.col("doc_id") * 100000 + F.col("pos")) * 2 + F.col("o")).alias("line_no"),
         F.col("word").alias("mention"),
         (vbase + F.col("o")).alias("char_begin"),
@@ -435,13 +437,14 @@ def q_edl_merge(spark, sf_dir):
 _EDL_MERGE_SQL = f"""
 WITH tok AS (SELECT * FROM ({_TOKENS_SQL}) WHERE word IN ({_sql_list(GAZ_WORDS)})),
 mentions AS (
-  SELECT doc_id || ':' || pos AS mid, word AS mention,
+  SELECT CAST(doc_id AS VARCHAR) AS url, doc_id || ':' || pos AS mid, word AS mention,
          doc_id*100000 + pos*20 AS char_begin,
          doc_id*100000 + pos*20 + len(word) AS char_end
   FROM tok
 ),
 edl AS (
-  SELECT (doc_id*100000 + pos)*2 + o AS line_no, word AS mention,
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         (doc_id*100000 + pos)*2 + o AS line_no, word AS mention,
          doc_id*100000 + pos*20 + o AS char_begin,
          doc_id*100000 + pos*20 + len(word) - 1 AS char_end,
          'fb:' || word || ':' || o AS fb_id, 'wk:' || word AS wiki_id
@@ -451,7 +454,7 @@ matched AS (
   SELECT m.mid, m.mention, e.fb_id, e.wiki_id,
          row_number() OVER (PARTITION BY m.mid ORDER BY e.line_no DESC) AS rn
   FROM mentions m LEFT JOIN edl e
-  ON m.mention = e.mention AND abs(e.char_begin - m.char_begin) <= 1
+  ON m.url = e.doc AND m.mention = e.mention AND abs(e.char_begin - m.char_begin) <= 1
      AND abs(e.char_end + 1 - m.char_end) <= 1
 )
 SELECT mid, mention, fb_id, wiki_id FROM matched WHERE rn = 1
@@ -769,11 +772,15 @@ def q_best_mention_election(spark, sf_dir):
 
 
 def q_band_join(spark, sf_dir):
-    """J7 (unify_edl.py:7-36): equi key + |delta| band predicate."""
+    """J7 (unify_edl.py:7-36): equi key + |delta| band predicate.
+
+    Band = 400.0 so the query is non-vacuous from sf0.001 up (acctbal spans
+    ~11k units; a +-1 band returned 0 rows at small SFs, making the oracle
+    comparison 0 == 0 — no evidence)."""
     s = _read(spark, sf_dir, "supplier")
     c = _read(spark, sf_dir, "customer")
     return (
-        s.join(c, (s.s_nationkey == c.c_nationkey) & (F.abs(s.s_acctbal - c.c_acctbal) <= 1.0))
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (F.abs(s.s_acctbal - c.c_acctbal) <= 400.0))
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n_pairs"))
     )
@@ -1262,7 +1269,7 @@ ORACLES = {
     ),
     "band_join": (
         "SELECT s_nationkey, count(*) AS n_pairs FROM supplier s JOIN customer c "
-        "ON s.s_nationkey = c.c_nationkey AND abs(s.s_acctbal - c.c_acctbal) <= 1.0 "
+        "ON s.s_nationkey = c.c_nationkey AND abs(s.s_acctbal - c.c_acctbal) <= 400.0 "
         "GROUP BY s_nationkey"
     ),
     "broadcast_join_agg": (

@@ -20,11 +20,11 @@ from named_entity_discovery_and_linking_spark.operators.mentions import (
 )
 
 MENTION_COLS = (
-    "mid string, category string, mention string, char_begin int, char_end int, "
+    "url string, mid string, category string, mention string, char_begin int, char_end int, "
     "headword string, head_begin int, head_end int"
 )
 EDL_COLS = (
-    "line_no bigint, mention string, char_begin int, char_end int, "
+    "doc string, line_no bigint, mention string, char_begin int, char_end int, "
     "fb_id string, wiki_id string, form string"
 )
 
@@ -32,22 +32,22 @@ EDL_COLS = (
 def test_merge_edl_nam_band_and_last_wins(spark):
     mentions = spark.createDataFrame(
         [
-            ("m1", "NAM", "Kyiv", 100, 104, "Kyiv", 100, 104),
-            ("m2", "NAM", "Odessa", 200, 206, "Odessa", 200, 206),
-            ("m3", "NAM", "Lviv", 300, 304, "Lviv", 300, 304),
+            ("d1", "m1", "NAM", "Kyiv", 100, 104, "Kyiv", 100, 104),
+            ("d1", "m2", "NAM", "Odessa", 200, 206, "Odessa", 200, 206),
+            ("d1", "m3", "NAM", "Lviv", 300, 304, "Lviv", 300, 304),
         ],
         MENTION_COLS,
     )
     edl = spark.createDataFrame(
         [
             # matches m1 exactly (end inclusive: 103 + 1 == 104)
-            (1, "Kyiv", 100, 103, "fb:kyiv.a", "wk:kyiv", "NAM"),
+            ("d1", 1, "Kyiv", 100, 103, "fb:kyiv.a", "wk:kyiv", "NAM"),
             # also matches m1 within the +-1 band; HIGHER line_no -> wins
-            (2, "Kyiv", 101, 104, "fb:kyiv.b", "wk:kyiv2", "NAM"),
+            ("d1", 2, "Kyiv", 101, 104, "fb:kyiv.b", "wk:kyiv2", "NAM"),
             # off by 2 -> no match for m2
-            (3, "Odessa", 202, 207, "fb:odessa", "wk:odessa", "NAM"),
+            ("d1", 3, "Odessa", 202, 207, "fb:odessa", "wk:odessa", "NAM"),
             # right span, wrong form -> no match for m3
-            (4, "Lviv", 300, 303, "fb:lviv", "wk:lviv", "NOM"),
+            ("d1", 4, "Lviv", 300, 303, "fb:lviv", "wk:lviv", "NOM"),
         ],
         EDL_COLS,
     )
@@ -57,13 +57,39 @@ def test_merge_edl_nam_band_and_last_wins(spark):
     assert out["m3"] == (None, None)
 
 
+def test_merge_edl_is_document_scoped(spark):
+    """Offsets restart per doc (unify_edl.py pairs each ner file with its own
+    edl file): a same-text same-span EDL row from ANOTHER document must not
+    transfer its ids."""
+    mentions = spark.createDataFrame(
+        [("d1", "m1", "NAM", "Kyiv", 100, 104, "Kyiv", 100, 104)], MENTION_COLS
+    )
+    edl = spark.createDataFrame(
+        [
+            ("d2", 7, "Kyiv", 100, 103, "fb:other-doc", "wk:other", "NAM"),
+            ("d1", 1, "Kyiv", 100, 103, "fb:same-doc", "wk:same", "NAM"),
+        ],
+        EDL_COLS,
+    )
+    row = merge_edl(mentions, edl).collect()[0]
+    # d2's line_no is higher but it must lose: wrong document
+    assert (row["fb_id"], row["wiki_id"]) == ("fb:same-doc", "wk:same")
+
+
+def test_merge_edl_requires_doc_keys(spark):
+    m = spark.createDataFrame([("m1", "NAM")], "mid string, category string")
+    e = spark.createDataFrame([(1,)], "line_no bigint")
+    with pytest.raises(ValueError, match="url"):
+        merge_edl(m, e)
+
+
 def test_merge_edl_nom_matches_on_head_span(spark):
     mentions = spark.createDataFrame(
-        [("m1", "NOM", "the commander", 10, 23, "commander", 14, 23)],
+        [("d1", "m1", "NOM", "the commander", 10, 23, "commander", 14, 23)],
         MENTION_COLS,
     )
     edl = spark.createDataFrame(
-        [(1, "commander", 14, 22, "fb:cmd", "wk:cmd", "NOM")], EDL_COLS
+        [("d1", 1, "commander", 14, 22, "fb:cmd", "wk:cmd", "NOM")], EDL_COLS
     )
     row = merge_edl(mentions, edl).collect()[0]
     assert (row["fb_id"], row["wiki_id"]) == ("fb:cmd", "wk:cmd")
@@ -77,10 +103,36 @@ def test_read_edl_tab(spark, tmp_path):
     p.write_text(line + "\n" + line.replace("Kyiv", "Lviv").replace(":100-103", ":7-10") + "\n")
     rows = read_edl_tab(spark, str(p)).orderBy("line_no").collect()
     assert [r["mention"] for r in rows] == ["Kyiv", "Lviv"]
+    assert rows[0]["doc"] == "doc1"
     assert (rows[0]["char_begin"], rows[0]["char_end"]) == (100, 103)
     assert (rows[1]["char_begin"], rows[1]["char_end"]) == (7, 10)
     assert rows[0]["fb_id"] == "fb:kyiv" and rows[0]["wiki_id"] == "wk:kyiv"
     assert rows[0]["form"] == "NAM"
+
+
+def test_read_edl_tab_multi_file_line_numbers(spark, tmp_path):
+    """line_no restarts per input file: with a directory of tab files, the
+    old global monotonically_increasing_id window would have numbered lines
+    across files in arbitrary partition-enumeration order."""
+    def mk(word, doc, n):
+        return "\n".join(
+            "\t".join(["x", "x", f"{word}{i}", f"{doc}:{i}-{i+3}", f"fb:{word}{i}",
+                       "GPE", "NAM", "x", word, "LOC", f"wk:{word}{i}"])
+            for i in range(n)
+        ) + "\n"
+
+    (tmp_path / "a.tab").write_text(mk("Kyiv", "docA", 3))
+    (tmp_path / "b.tab").write_text(mk("Lviv", "docB", 5))
+    rows = read_edl_tab(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append(r)
+    assert sorted(r["line_no"] for r in by_doc["docA"]) == [1, 2, 3]
+    assert sorted(r["line_no"] for r in by_doc["docB"]) == [1, 2, 3, 4, 5]
+    # within each file, line_no follows file order (mention index == line_no - 1)
+    for doc, word in (("docA", "Kyiv"), ("docB", "Lviv")):
+        for r in by_doc[doc]:
+            assert r["mention"] == f"{word}{r['line_no'] - 1}"
 
 
 def test_nam_nom_dedup_df(spark):
