@@ -14,6 +14,12 @@ cluster election (A3 -> subcomponent 2, score 1.0, linking.py:654-666).
 Coref clusters are CONSUMED from the CSR relation_evidence frames —
 exactly the reference's consumption contract — and the same A2 vote /
 A3 election operators the cross-document canonicalizer uses apply.
+
+Frame-id scoping: the reference processes ONE CSR file at a time, so frame
+``@id``s only need to be unique within a file.  This plan processes a whole
+directory in one job, so every internal key (mention id, cluster id) is
+prefixed with the document name (``doc + '\\x1f' + frame_id``) and the prefix
+is stripped when emitting — two files that both use ``e1`` can never merge.
 """
 
 from __future__ import annotations
@@ -27,12 +33,25 @@ from ..operators.linking import link_mentions
 
 LANGS = ("en", "ru", "uk", "img")
 COMPONENT = "opera.entities.edl.refkb.xianyang"
+# document/frame-id separator: a control char that cannot appear in a CSR
+# frame @id or a file basename
+_SEP = "\x1f"
+
+
+def _scoped(doc_col: str, id_col: str):
+    return F.concat_ws(_SEP, F.col(doc_col), F.col(id_col))
 
 
 def _csr_mentions(entities: DataFrame, sentences: DataFrame, lang: str,
-                  fringe: bool = False) -> DataFrame:
+                  fringe: bool = False, lenient: bool = False) -> DataFrame:
     """Entity frames -> the mentions shape link_mentions consumes.
-    mid = frame id (unique per doc corpus); F10 named-form filter."""
+    mid = doc-scoped frame id (unique across the whole input directory);
+    F10 named-form filter.
+
+    en route: a frame whose ``provenance.reference`` resolves to no sentence
+    frame RAISES (the reference does ``sentences[ref]`` — KeyError on
+    malformed input, linking.py:532).  Pass ``lenient=True`` to substitute an
+    empty context instead."""
     e = entities.filter(F.col("form") == "named")  # F10, linking.py:519-520
     text = F.col("label") if lang == "img" else F.col("text")
     if fringe:
@@ -47,12 +66,22 @@ def _csr_mentions(entities: DataFrame, sentences: DataFrame, lang: str,
             (F.col("doc") == F.col("s_doc")) & (F.col("sent_ref") == F.col("sent_id")),
             "left",
         )
-        ctx = F.coalesce("sent_text", F.lit(""))
+        if lenient:
+            ctx = F.coalesce("sent_text", F.lit(""))
+        else:
+            ctx = F.when(
+                F.col("sent_text").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("CSR sentence reference not found (doc="),
+                    F.col("doc"), F.lit(", ref="),
+                    F.coalesce(F.col("sent_ref"), F.lit("<null>")), F.lit(")"),
+                )),
+            ).otherwise(F.col("sent_text"))
     else:
         ctx = F.lit("")  # ru/uk/img query with empty context (linking.py:533,555)
     return e.select(
         F.col("doc").alias("url"),
-        F.col("frame_id").alias("mid"),
+        _scoped("doc", "frame_id").alias("mid"),
         F.lit("NAM").alias("category"),
         text.alias("mention"),
         F.col("enttype").alias("type"),
@@ -61,18 +90,26 @@ def _csr_mentions(entities: DataFrame, sentences: DataFrame, lang: str,
 
 
 def link_csr(entities: DataFrame, sentences: DataFrame, clusters: DataFrame,
-             kb: DataFrame, aliases: DataFrame, lang: str) -> DataFrame:
+             kb: DataFrame, aliases: DataFrame, lang: str,
+             lenient: bool = False) -> DataFrame:
     """Per-frame xref rows: (doc, frame_id, eid, cname, confidence,
     subcomponent).  Applies the route's linking, the J10 fringe merge
     (ru/uk), then the cluster pass: A2 vote re-links every member of a
     cluster with >=1 linked member; A3 elects + registers for fully-NIL
-    clusters (subcomponent 2, score 1.0)."""
+    clusters (subcomponent 2, score 1.0).
+
+    All joins key on DOC-SCOPED ids — per-file-local frame/cluster ids
+    (the reference's one-file-at-a-time contract) cannot collide across a
+    directory-sized input."""
     if lang not in LANGS:
         raise ValueError(f"lang must be one of {LANGS}")
-    native = link_mentions(_csr_mentions(entities, sentences, lang), kb, aliases,
-                           promote=False).localCheckpoint()
+    native = link_mentions(
+        _csr_mentions(entities, sentences, lang, lenient=lenient), kb, aliases,
+        promote=False,
+    ).localCheckpoint()
     if lang in ("ru", "uk"):
-        fr_mentions = _csr_mentions(entities, sentences, lang, fringe=True)
+        fr_mentions = _csr_mentions(entities, sentences, lang, fringe=True,
+                                    lenient=lenient)
         # the reference queries the fringe only when the NATIVE form linked
         # (linking.py:538) — and the fringe merge applies to refkb results
         fr_mentions = fr_mentions.join(
@@ -92,7 +129,11 @@ def link_csr(entities: DataFrame, sentences: DataFrame, clusters: DataFrame,
         F.lit(1).alias("rank"),  # cluster_link_vote filters on rank itself
     ).localCheckpoint()
 
-    clu = clusters.select(F.col("member").alias("mid"), "cluster_id")
+    # cluster ids are file-local too (fixture style 'c1') — scope both sides
+    clu = clusters.select(
+        _scoped("doc", "member").alias("mid"),
+        _scoped("doc", "cluster_id").alias("cluster_id"),
+    )
     # A2 (linking.py:667-690): cluster_link_vote already re-links EVERY
     # member of a cluster with >=1 linked member to the vote winner; the
     # winner's subcomponent follows its KB space (refkb -> 0, tmpkb -> 1)
@@ -102,7 +143,7 @@ def link_csr(entities: DataFrame, sentences: DataFrame, clusters: DataFrame,
     )
     # A3 (linking.py:624-666): fully-NIL clusters elect a best mention ->
     # new tmp entity, subcomponent 2, score 1.0, type-gated
-    mention_surface = _csr_mentions(entities, sentences, lang).select(
+    mention_surface = _csr_mentions(entities, sentences, lang, lenient=lenient).select(
         "mid", "mention", F.substring("type", 8, 3).alias("coarse_type"),
         F.lit("NAM").alias("category"),
     )
@@ -132,35 +173,72 @@ def link_csr(entities: DataFrame, sentences: DataFrame, clusters: DataFrame,
         "mid", "eid", "cname", "confidence", "subcomponent"
     )
     out = voted.unionByName(solo).unionByName(elected_members)
-    frame_doc = entities.select(F.col("frame_id").alias("mid"), "doc")
-    return out.join(frame_doc, "mid").select(
-        "doc", F.col("mid").alias("frame_id"), "eid", "cname", "confidence", "subcomponent"
+    # the doc-scoped mid carries its own provenance: split, don't re-join
+    return out.select(
+        F.substring_index("mid", _SEP, 1).alias("doc"),
+        F.substring_index("mid", _SEP, -1).alias("frame_id"),
+        "eid", "cname", "confidence", "subcomponent",
     )
 
 
-def xref_records(linked: DataFrame):
-    """linked rows -> {frame_id: [xref dicts]} per doc, in the reference's
-    record shape (linking.py:564-568)."""
-    out: dict = {}
-    for r in linked.collect():
-        rec = {
+def _xref_struct():
+    return F.struct(
+        F.col("frame_id"),
+        F.col("eid"), F.col("cname"),
+        F.col("confidence"), F.col("subcomponent"),
+    )
+
+
+def _records_from_rows(rows) -> dict:
+    """[(frame_id, eid, cname, confidence, subcomponent)] -> {frame_id: [rec]}
+    in the reference's record shape (linking.py:564-568)."""
+    by_frame: dict = {}
+    for r in rows:
+        by_frame.setdefault(r["frame_id"], []).append({
             "@type": "db_reference",
             "component": COMPONENT,
             "id": r["eid"],
             "canonical_name": r["cname"],
             "score": r["confidence"],
             "subcomponent": r["subcomponent"],
-        }
-        out.setdefault(r["doc"], {}).setdefault(r["frame_id"], []).append(rec)
+        })
+    return by_frame
+
+
+def xref_records(linked: DataFrame):
+    """Driver-side {doc: {frame_id: [xref dicts]}} — SMALL inputs only (it
+    collects the full link set).  The distributed sink (run_csr) groups by
+    doc on executors and never collects."""
+    out: dict = {}
+    for r in linked.collect():
+        out.setdefault(r["doc"], {}).setdefault(r["frame_id"], []).append({
+            "@type": "db_reference",
+            "component": COMPONENT,
+            "id": r["eid"],
+            "canonical_name": r["cname"],
+            "score": r["confidence"],
+            "subcomponent": r["subcomponent"],
+        })
     return out
 
 
-def run_csr(spark, in_dir: str, out_dir: str, lang: str, kb=None, aliases=None) -> int:
+def run_csr(spark, in_dir: str, out_dir: str, lang: str, kb=None, aliases=None,
+            distributed: bool = True) -> int:
     """The --run_csr CLI equivalent: read in_dir/*.csr.json, link per the
     language route, rewrite each file under out_dir with xref records.
-    The per-file JSON rewrite is driver-side (files are small; at corpus
-    scale swap append_xrefs_to_csr into a foreachPartition over file
-    paths)."""
+
+    Default sink is DISTRIBUTED: xrefs are grouped per document on the
+    executors and each file is rewritten inside ``foreachPartition`` — the
+    driver never sees a link row, so the write scales with executor count,
+    not driver memory.  Files with no linked frames are copied through
+    verbatim (same as the reference, which rewrites every input file).
+    Paths must be visible from executors (shared FS — the reference's
+    deployment assumption too); an object-store deployment would swap the
+    ``open()`` calls for the Hadoop FileSystem API.
+
+    ``distributed=False`` keeps the old driver-side loop for tiny inputs
+    (saves the shuffle + task overhead when there are a handful of files).
+    """
     import os
 
     from ..sources.csr_json import append_xrefs_to_csr, read_csr_dir
@@ -171,15 +249,34 @@ def run_csr(spark, in_dir: str, out_dir: str, lang: str, kb=None, aliases=None) 
         kb, aliases = kb_dfs(spark)
     entities, sentences, clusters = read_csr_dir(spark, in_dir)
     linked = link_csr(entities, sentences, clusters, kb, aliases, lang)
-    by_doc = xref_records(linked)
+    fnames = sorted(f for f in os.listdir(in_dir) if f.endswith(".csr.json"))
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
-    for fname in sorted(os.listdir(in_dir)):
-        if not fname.endswith(".csr.json"):
-            continue
-        append_xrefs_to_csr(
-            os.path.join(in_dir, fname), os.path.join(out_dir, fname),
-            by_doc.get(fname, {}),
-        )
-        n += 1
-    return n
+
+    if not distributed:
+        by_doc = xref_records(linked)
+        for fname in fnames:
+            append_xrefs_to_csr(
+                os.path.join(in_dir, fname), os.path.join(out_dir, fname),
+                by_doc.get(fname, {}),
+            )
+        return len(fnames)
+
+    # one row per document: (doc, [xref structs]); files with no links join
+    # in with an empty list so every input file is rewritten
+    per_doc = linked.groupBy("doc").agg(F.collect_list(_xref_struct()).alias("xrefs"))
+    all_docs = spark.createDataFrame([(f,) for f in fnames], "doc string")
+    work = all_docs.join(per_doc, "doc", "left")
+
+    def write_partition(rows):
+        import os as _os
+
+        for row in rows:
+            by_frame = _records_from_rows(row["xrefs"] or [])
+            append_xrefs_to_csr(
+                _os.path.join(in_dir, row["doc"]),
+                _os.path.join(out_dir, row["doc"]),
+                by_frame,
+            )
+
+    work.foreachPartition(write_partition)
+    return len(fnames)
