@@ -38,6 +38,14 @@ TMPKB_PROMOTE_MIN = 5  # linking.py:473-475
 # reference's EFFECTIVE fuzzy budget is therefore min(2, len//5) — we
 # reproduce that, not the dead 3..5 range (DEVIATIONS.md #3).
 MAX_FUZZY_DIST = 2
+# Broadcast the alias/variant index only while it is dimension-scale.  The
+# binding constraint is the FUZZY variant index: deletion variants inflate
+# the alias tokens ~(1 + L + L(L-1)/2)-fold (~40x at L=8), so 200k aliases
+# is ~300-400 MB broadcast — beyond that every executor pays the memory and
+# the broadcast build serializes on the driver.  Above the threshold the
+# SAME equi key joins as a shuffled SORT-MERGE join (spillable; AQE
+# skew-join splits hot variants).
+FUZZY_BROADCAST_MAX_ALIASES = 200_000
 
 
 # ------------------------------------------------------------------ KB prep
@@ -217,7 +225,8 @@ def generate_candidates(queries: DataFrame, alias_table: DataFrame, fuzzy_dist: 
 
 
 def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
-                                max_dist: int = MAX_FUZZY_DIST) -> DataFrame:
+                                max_dist: int = MAX_FUZZY_DIST,
+                                broadcast_index: bool | None = None) -> DataFrame:
     """Exact + fuzzy candidate generation in ONE pass.
 
     The reference retries retrieval at dist = 1..min(5, len//5) only until
@@ -234,7 +243,33 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
 
     Returns candidates with a ``d_star`` column; F6 gate + min-d* filter
     applied; capped at top-100 per mention (linking.py:112).
+
+    ``broadcast_index`` picks the alias-index join regime:
+      True  — broadcast hash joins (dimension-scale KB: the default for the
+              reference's MB-scale cleaned LORELEI KB)
+      False — SHUFFLED joins on the same equi keys (web-scale KB whose
+              variant index cannot broadcast): sort-merge, which spills
+              instead of OOMing on the hash-map build (a shuffle_hash hint
+              was tried first and threw SparkOutOfMemoryError at 20M variant
+              rows x 32 concurrent build tasks — SMJ is the only shape that
+              survives an unbounded KB), with AQE skew-join splitting hot
+              variants and AQE free to convert back to broadcast/SHJ where
+              runtime stats allow.  Measured sub-quadratic in corpus and KB
+              size — see BENCH.md "fuzzy join, shuffled regime".
+      None  — auto: broadcast iff count(alias_table) <=
+              FUZZY_BROADCAST_MAX_ALIASES (one cheap count job on what the
+              caller keeps checkpointed; at real scale pass the flag or rely
+              on table statistics instead).
     """
+    if broadcast_index is None:
+        broadcast_index = alias_table.count() <= FUZZY_BROADCAST_MAX_ALIASES
+
+    def _idx(df: DataFrame) -> DataFrame:
+        """Alias-side index frame: broadcast when dimension-scale, else a
+        sort-merge join on the equi key (spillable — never an in-memory
+        hash build over an unbounded KB, never a nested loop)."""
+        return F.broadcast(df) if broadcast_index else df.hint("merge")
+
     _CAND_COLS = [
         "mid", "n_q", "alias_id", "eid", "cand_name", "cname", "cand_type",
         "info", "info_nfields", "n_tokens", "d_star", "lucene_rank",
@@ -270,7 +305,7 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         return (
             gated.withColumn("lucene_rank", F.row_number().over(w))
             .filter(F.col("lucene_rank") <= TOP_K_CANDIDATES)  # W4
-            .join(F.broadcast(attrs.drop("n_tokens")), "alias_id")
+            .join(_idx(attrs.drop("n_tokens")), "alias_id")
             .select(*_CAND_COLS)
         )
 
@@ -286,7 +321,7 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # scale).  The F6 type gate rides the join condition so gated-out
     # candidates never reach the shuffle.
     exact = (
-        q_tok.join(F.broadcast(a_tok), (q_tok.q_tok == a_tok.a_tok) & a_gate)
+        q_tok.join(_idx(a_tok), (q_tok.q_tok == a_tok.a_tok) & a_gate)
         .groupBy("mid", "n_q", "alias_id", "n_tokens")
         # count(*) == countDistinct(q_tok) here: q_tokens are array_distinct
         # and a_tok is deduped per alias, so each (mid, alias, q_tok) joins
@@ -310,9 +345,9 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # |alias_tokens| levenshteins (368M measured at bench scale when
     # unrestricted) — on a cold corpus/KB mismatch the NIL subset IS the
     # corpus, so the BNLJ shape cannot survive 100x.  The variant index
-    # inflates the alias tokens ~|L|^2/2-fold; it broadcasts here (MB-scale
-    # cleaned KB); at web-KB scale drop the broadcast hint and let AQE plan
-    # a shuffled hash join on the same equi key.
+    # inflates the alias tokens ~|L|^2/2-fold; dimension-scale KBs broadcast
+    # it, web-scale KBs shuffle it (see ``broadcast_index``) — the equi key
+    # is identical in both regimes.
     nil1 = q_tok.join(exact.select("mid").distinct(), "mid", "left_anti").filter(
         F.col("budget") >= 1
     )
@@ -320,7 +355,7 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     q_var = nil1.withColumn("variant", F.explode(deletion_variants("q_tok", "budget")))
     a_var = a_tok.withColumn("variant", F.explode(deletion_variants("a_tok", str(int(max_dist)))))
     fuzzy_pairs = (
-        q_var.join(F.broadcast(a_var), (q_var.variant == a_var.variant) & a_gate)
+        q_var.join(_idx(a_var), (q_var.variant == a_var.variant) & a_gate)
         .withColumn("lev", lev)
         .filter(F.col("lev") <= F.col("budget"))
     )
@@ -490,7 +525,8 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------ full E2 plan
 
 def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
-                  promote: bool = True) -> DataFrame:
+                  promote: bool = True,
+                  broadcast_index: bool | None = None) -> DataFrame:
     """Full E2: NAM mentions -> links (url, mid, eid, cname, confidence,
     rank, subcomponent).  subcomponent follows the reference encoding:
     0 = EntityLinker.query result, exact AND fuzzy (linking.py:564-568);
@@ -519,7 +555,8 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
     # caching was ~50% GC at bench scale.
     queries = materialize(_nam_queries(mentions), "queries")
 
-    cands = generate_candidates_unified(queries, alias_table, MAX_FUZZY_DIST)
+    cands = generate_candidates_unified(queries, alias_table, MAX_FUZZY_DIST,
+                                        broadcast_index=broadcast_index)
     scored = materialize(
         disambiguate(score_candidates(cands, queries), queries), "scored"
     )

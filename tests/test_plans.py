@@ -85,6 +85,42 @@ def test_fuzzy_join_is_equi_keyed_hash_join(spark):
         assert "BroadcastHashJoin" in plan
 
 
+def test_fuzzy_join_shuffled_regime(spark):
+    """Above FUZZY_BROADCAST_MAX_ALIASES the variant index must NOT
+    broadcast: the same deletion-variant equi key plans as a shuffled
+    SORT-MERGE join (spillable — a shuffle-hash build OOMs on an unbounded
+    KB), with zero BroadcastExchange anywhere in the candidate-generation
+    plan and still no nested loop."""
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        build_alias_table,
+        clean_kb,
+        generate_candidates_unified,
+    )
+
+    kb, al = kb_dfs(spark)
+    at = build_alias_table(clean_kb(kb), al)
+    q = spark.createDataFrame(
+        [("u", "m1", "kramatorskk", "GPE", "x")],
+        "url string, mid string, ent_name string, ent_type string, sent_text string",
+    ).withColumn("q_tokens", F.array(F.col("ent_name"))).withColumn("n_q", F.lit(1)) \
+     .withColumn("ctx_tokens", F.array(F.col("ent_name")))
+    df = generate_candidates_unified(q, at, broadcast_index=False)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan  # no hidden broadcast of the index
+    assert "SortMergeJoin" in plan
+    # the fuzzy join keys on the deletion-variant column in this regime too
+    smj = plan.split("SortMergeJoin")
+    assert any("variant" in seg[:300] for seg in smj[1:])
+    # results identical across regimes (same equi key, same verify filter)
+    a = sorted(tuple(r) for r in df.select("mid", "alias_id", "d_star").collect())
+    b = sorted(
+        tuple(r) for r in generate_candidates_unified(q, at, broadcast_index=True)
+        .select("mid", "alias_id", "d_star").collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_mentions_single_python_stage(spark, sf_docs):
     """Discovery is ONE ArrowEvalPython/mapInPandas stage — no shuffle
     between the scan and the mentions output."""
