@@ -396,12 +396,22 @@ def _noun_lemma(low: str, cfg: TaggerConfig):
 
 def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
     """Deterministic NP chunker standing in for the CoreNLP parse (M1 is a
-    sanctioned stub): grammar  CORE := [DT] (JJ|NN)* NN ;  NP := CORE (IN
-    CORE)*  with right-nested PP attachment, mirroring PTB shape
-    (NP (NP core) (PP in (NP core))).  Emits EVERY NP node (the reference
-    walks all NP constituents of the parse, nominal.py:26-43), so inner
-    cores and outer PP-attached spans all become candidates; W2 then keeps
-    the largest span per head."""
+    sanctioned stub): grammar
+
+        CORE  := [DT] (JJ|NN)* NN
+        COORD := CORE ((CC|,) CORE)+        flat, PTB shape
+                 (NP (NP core) (CC and) (NP core)) — covers conjunctions
+                 ("soldiers and officers"), appositives ("the commander,
+                 a veteran") and comma lists ("soldiers, tanks and guns")
+        NP    := (CORE|COORD) (IN (CORE|COORD))*   right-nested PP
+                 attachment (NP (NP unit) (PP in (NP unit)))
+
+    Emits EVERY NP node (the reference walks all NP constituents of the
+    parse, nominal.py:26-43), so inner cores, flat coordinations, and outer
+    PP-attached spans all become candidates; W2 then keeps the largest span
+    per head.  Head of a coordination follows tree.py:64-76 on the same
+    shape: no top-level NN child -> recurse into the LAST top-level NP,
+    i.e. the last conjunct heads the coordination."""
     n = len(tokens)
     pos = []
     for idx in range(n):
@@ -416,6 +426,10 @@ def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
             pos.append("JJ")
         elif low in _PP_PREPS:
             pos.append("IN")
+        elif low in ("and", "or"):
+            pos.append("CC")
+        elif low == ",":
+            pos.append(",")
         else:
             pos.append(None)
 
@@ -443,24 +457,58 @@ def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
         else:
             i += 1
 
-    # PP attachment: core (IN core)* -> right-nested composite NPs
     core_nodes = [_NPNode("NP", [leaf(i) for i in range(b, e)]) for b, e in cores]
-    np_nodes = []
+
+    # COORD: group adjacent cores whose separator tokens are all CC/',' and
+    # at most two of them ("a and b", "a, b", "a, and b").  Flat PTB shape:
+    # the conjunct cores stay top-level NP children, so find_head_of_np's
+    # last-NP recursion lands on the last conjunct's head.
+    units = []       # one _NPNode per unit: a bare core or a coordination
+    unit_spans = []  # (begin, end) token span of each unit
+    inner = []       # conjunct cores of multi-core units (emitted as NPs too)
     ci = 0
-    while ci < len(core_nodes):
-        # find the maximal chain core IN core IN core ...
-        chain = [core_nodes[ci]]
-        preps = []
+    while ci < len(cores):
+        group = [ci]
         cj = ci
-        while (
-            cj + 1 < len(core_nodes)
-            and cores[cj][1] < n
-            and pos[cores[cj][1]] == "IN"
-            and cores[cj + 1][0] == cores[cj][1] + 1
-        ):
-            preps.append(cores[cj][1])
-            chain.append(core_nodes[cj + 1])
+        while cj + 1 < len(cores):
+            sep_b, sep_e = cores[cj][1], cores[cj + 1][0]
+            if not 0 < sep_e - sep_b <= 2:
+                break
+            if any(pos[s] not in ("CC", ",") for s in range(sep_b, sep_e)):
+                break
+            group.append(cj + 1)
             cj += 1
+        if len(group) == 1:
+            units.append(core_nodes[ci])
+        else:
+            children = []
+            for gk, g in enumerate(group):
+                if gk:
+                    prev_end = cores[group[gk - 1]][1]
+                    children.extend(leaf(s) for s in range(prev_end, cores[g][0]))
+                children.append(core_nodes[g])
+                inner.append(core_nodes[g])
+            units.append(_NPNode("NP", children))
+        unit_spans.append((cores[ci][0], cores[cj][1]))
+        ci = cj + 1
+
+    # PP attachment: unit (IN unit)* -> right-nested composite NPs
+    np_nodes = list(inner)
+    ui = 0
+    while ui < len(units):
+        # find the maximal chain unit IN unit IN unit ...
+        chain = [units[ui]]
+        preps = []
+        uj = ui
+        while (
+            uj + 1 < len(units)
+            and unit_spans[uj][1] < n
+            and pos[unit_spans[uj][1]] == "IN"
+            and unit_spans[uj + 1][0] == unit_spans[uj][1] + 1
+        ):
+            preps.append(unit_spans[uj][1])
+            chain.append(units[uj + 1])
+            uj += 1
         # build right-nested attachment and collect every NP constituent
         node = chain[-1]
         nested = [node]
@@ -470,7 +518,7 @@ def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
             nested.append(chain[k])
             nested.append(node)
         np_nodes.extend(nested)
-        ci = cj + 1
+        ui = uj + 1
     return np_nodes
 
 

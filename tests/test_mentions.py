@@ -171,6 +171,58 @@ def test_find_head_of_np_recursion_unit():
     assert find_head_of_np(bare) == 1
 
 
+def test_coordinated_np_flat_last_conjunct_heads():
+    """COORD := CORE ((CC|,) CORE)+ flat, PTB shape (NP (NP a) (CC and)
+    (NP b)): find_head_of_np's last-NP recursion -> the LAST conjunct heads
+    the coordination (tree.py:64-76 on the same shape)."""
+    rows = rows_for("Soldiers and protesters gathered .")
+    noms = get(rows, "NOM")
+    outer = [r for r in noms if r[4] == "Soldiers and protesters"]
+    assert outer and outer[0][13] == "protesters", noms
+    # wordnet types the head (protester) but the NIST-key single-hit rule
+    # (main.py:236-244) fires on 'soldiers' — the only nist_key token in the
+    # wider span — and overrides to Combatant
+    assert outer[0][5] == "ldcOnt:PER.Combatant"
+    # first conjunct keeps its own mention; last is subsumed by W2 (same head)
+    assert any(r[4] == "Soldiers" and r[13] == "Soldiers" for r in noms)
+    assert not any(r[4] == "protesters" for r in noms)
+
+
+def test_comma_list_with_oxford_cc():
+    """Comma list 'a , b and c': separators of one or two (CC|,) tokens all
+    coordinate into ONE flat NP; head = last conjunct."""
+    rows = rows_for("Tanks , trucks and rockets fired .")
+    noms = get(rows, "NOM")
+    outer = [r for r in noms if r[4] == "Tanks , trucks and rockets"]
+    assert outer and outer[0][13] == "rockets", noms
+    assert outer[0][5] == "ldcOnt:WEA.MissileSystem.Missile"
+    # non-head conjuncts survive as their own NOMs
+    assert any(r[4] == "Tanks" for r in noms)
+    assert any(r[4] == "trucks" for r in noms)
+
+
+def test_appositive_comma_coordination():
+    """Appositive 'the commander , a spokesman' coordinates over the bare
+    comma; head = last conjunct (spokesman)."""
+    rows = rows_for("The commander , a spokesman , arrived .")
+    noms = get(rows, "NOM")
+    outer = [r for r in noms if r[4] == "The commander , a spokesman"]
+    assert outer and outer[0][13] == "spokesman", noms
+    assert any(r[4] == "The commander" and r[13] == "commander" for r in noms)
+
+
+def test_pp_chain_over_coordination():
+    """NP := (CORE|COORD) (IN (CORE|COORD))*: a coordination can be a PP
+    object; the composite's head is still the FIRST unit's head."""
+    rows = rows_for("The commander of the army and the militia spoke .")
+    noms = get(rows, "NOM")
+    full = [r for r in noms if r[4] == "The commander of the army and the militia"]
+    assert full and full[0][13] == "commander", noms
+    # the coordinated PP object is its own NP, headed by the last conjunct
+    assert any(r[4] == "the army and the militia" and r[13] == "militia" for r in noms)
+    assert any(r[4] == "the army" for r in noms)
+
+
 def test_single_word_np_filters_reference_sets():
     """F3 single-token filters use the reference's literal sets
     (nominal.py:48-50): quantifiers/bare-NP words drop, plain nouns pass."""
