@@ -92,7 +92,9 @@ def materialize(df, tag: str = "stage"):
     )
     df.write.parquet(path)
     _MATERIALIZED.append(path)
-    return df.sparkSession.read.parquet(path)
+    # pass the known schema: skips the read-side schema-inference job
+    # (driver-only footer sampling) that otherwise runs per materialization
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 _MATERIALIZED: list = []
