@@ -8,8 +8,10 @@ on BOTH sides; integer sums are cast to BIGINT on the DuckDB side (DuckDB
 widens SUM(int) to HUGEINT).
 
 The KG-pipeline stages that are not SQL-expressible (the mapInPandas tagger,
-iterative connected components) are exposed as rows-only entries (no oracle)
-— the driver records the weaker check, the pytest goldens carry the exactness
+iterative connected components) compare against frozen golden parquet
+snapshots of the sf0.01 pipeline output (scripts/freeze_kg_goldens.py), so
+kg_mentions / kg_triples are hash-checked like every other entry; the pytest
+goldens and reference-execution parity tests carry the semantic-fidelity
 burden for those.
 """
 
@@ -1166,6 +1168,87 @@ SELECT vec_id, nn_id, cos FROM ranked WHERE rnk = 1
 )
 
 
+def q_nist_key(spark, sf_dir):
+    """The nist_key derivation (main.py:25-61) as window functions over the
+    ont_ids scan list: a two-part id keys its subtype iff it is the globally
+    FIRST row mentioning that subtype (three-part rows also mark subtypes
+    seen) and the subtype is in the literal allowlist; every first-seen
+    sub-subtype keys; keyword collisions resolve last-assignment-wins (dict
+    overwrite order = scan position); then the three manual overrides.
+    Must equal sources.ontology.build_nist_key (pinned in test_ontology)."""
+    from ..fixtures.generator import LDC_ENTITY_TYPES
+    from ..sources.ontology import NIST_KEY_SUBTYPES
+
+    ids = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(LDC_ENTITY_TYPES)], "pos int, ont_id string"
+    )
+    parts = ids.withColumn("p", F.split(F.expr("split(ont_id, ':')[1]"), "\\."))
+    sub_occ = parts.filter(F.size("p").isin(2, 3)).select(
+        "pos", "ont_id", F.col("p")[1].alias("subtype"), F.size("p").alias("arity")
+    )
+    w_sub = Window.partitionBy("subtype").orderBy("pos")
+    k1 = (
+        sub_occ.withColumn("rn", F.row_number().over(w_sub))
+        .filter((F.col("rn") == 1) & (F.col("arity") == 2)
+                & F.lower("subtype").isin(NIST_KEY_SUBTYPES))
+        .select(F.lower("subtype").alias("keyword"), "ont_id", "pos")
+    )
+    sst = parts.filter(F.size("p") == 3).select(
+        "pos", "ont_id", F.col("p")[2].alias("sstype")
+    )
+    w_sst = Window.partitionBy("sstype").orderBy("pos")
+    k2 = (
+        sst.withColumn("rn", F.row_number().over(w_sst))
+        .filter(F.col("rn") == 1)
+        .select(F.lower("sstype").alias("keyword"), "ont_id", "pos")
+    )
+    w_key = Window.partitionBy("keyword").orderBy(F.col("pos").desc())
+    merged = (
+        k1.unionByName(k2)
+        .withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") == 1)
+        .select("keyword", "ont_id")
+    )
+    overrides = spark.createDataFrame(
+        [("force", "ldcOnt:PER.MilitaryPersonnel"),
+         ("forces", "ldcOnt:PER.MilitaryPersonnel"),
+         ("soldiers", "ldcOnt:PER.MilitaryPersonnel")],
+        "keyword string, ont_id string",
+    )
+    return merged.join(overrides, "keyword", "left_anti").unionByName(overrides)
+
+
+def _nist_key_sql() -> str:
+    from ..fixtures.generator import LDC_ENTITY_TYPES
+    from ..sources.ontology import NIST_KEY_SUBTYPES
+
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(LDC_ENTITY_TYPES))
+    allow = ", ".join(f"'{s}'" for s in NIST_KEY_SUBTYPES)
+    return f"""
+WITH ids(pos, ont_id) AS (VALUES {vals}),
+parts AS (SELECT pos, ont_id, string_split(split_part(ont_id, ':', 2), '.') AS p FROM ids),
+sub_occ AS (SELECT pos, ont_id, p[2] AS subtype, len(p) AS arity
+            FROM parts WHERE len(p) IN (2, 3)),
+k1 AS (SELECT lower(subtype) AS keyword, ont_id, pos FROM (
+         SELECT *, row_number() OVER (PARTITION BY subtype ORDER BY pos) rn FROM sub_occ)
+       WHERE rn = 1 AND arity = 2 AND lower(subtype) IN ({allow})),
+k2 AS (SELECT lower(sstype) AS keyword, ont_id, pos FROM (
+         SELECT pos, ont_id, p[3] AS sstype,
+                row_number() OVER (PARTITION BY p[3] ORDER BY pos) rn
+         FROM parts WHERE len(p) = 3)
+       WHERE rn = 1),
+merged AS (SELECT keyword, ont_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY keyword ORDER BY pos DESC) rn
+             FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2))
+           WHERE rn = 1)
+SELECT keyword, ont_id FROM merged WHERE keyword NOT IN ('force', 'forces', 'soldiers')
+UNION ALL
+SELECT * FROM (VALUES ('force', 'ldcOnt:PER.MilitaryPersonnel'),
+                      ('forces', 'ldcOnt:PER.MilitaryPersonnel'),
+                      ('soldiers', 'ldcOnt:PER.MilitaryPersonnel')) t(keyword, ont_id)
+"""
+
+
 # --------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1209,6 +1292,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
+    "nist_key": q_nist_key,
     "kg_mentions": q_kg_mentions,  # golden-parquet oracle (mapInPandas tagger)
     "kg_triples": q_kg_triples,  # golden-parquet oracle (full pipeline)
 }
@@ -1312,6 +1396,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
+    "nist_key": _nist_key_sql(),
     # kg_mentions / kg_triples are not SQL-expressible (mapInPandas tagger +
     # iterative connected components), so their oracle is a frozen golden
     # parquet of the sf0.01 pipeline output — a hash-comparable drift pin.

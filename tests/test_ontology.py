@@ -94,6 +94,29 @@ def test_stopword_snapshot_shape():
     assert "soldier" not in sw
 
 
+def test_nist_key_query_equals_python_derivation(spark):
+    """The q_nist_key window-function derivation must equal build_nist_key
+    (the direct Python port) on the fixture scan list — and on the real
+    ontology's id list when the reference checkout is present."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import LDC_ENTITY_TYPES
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import q_nist_key
+
+    got = {r["keyword"]: r["ont_id"] for r in q_nist_key(spark, "").collect()}
+    assert got == build_nist_key(list(LDC_ENTITY_TYPES))
+
+    if os.path.exists(ONTO):
+        # same plan over the REAL ontology's scan list
+        import unittest.mock as mock
+
+        real_ids = load_ldc_ontology(ONTO)
+        with mock.patch(
+            "named_entity_discovery_and_linking_spark.fixtures.generator.LDC_ENTITY_TYPES",
+            real_ids,
+        ):
+            got_real = {r["keyword"]: r["ont_id"] for r in q_nist_key(spark, "").collect()}
+        assert got_real == build_nist_key(real_ids)
+
+
 def test_reference_hierarchy_is_legal_for_attach(spark):
     """The real hierarchy drops into attach_subtypes unchanged: a legal
     (type, subtype) pair attaches, an illegal one does not."""
