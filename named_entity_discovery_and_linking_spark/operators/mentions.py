@@ -422,6 +422,13 @@ def _chunk_np_trees(tokens, lows, claimed, cfg: TaggerConfig):
             pos.append("DT")
         elif _noun_lemma(low, cfg) is not None:
             pos.append("NN")
+        elif low.endswith("'s") and _noun_lemma(low[:-2], cfg) is not None:
+            # possessive noun ("government's"): a parse yields
+            # (NP (NP the government 's) (NNS soldiers)) — within the flat
+            # chunker the genitive acts as a modifier slot, so tag it NN and
+            # let the core-must-END-in-NN rule + head finding land on the
+            # possessed noun
+            pos.append("NN")
         elif low in cfg.adjectives:
             pos.append("JJ")
         elif low in _PP_PREPS:

@@ -223,6 +223,20 @@ def test_pp_chain_over_coordination():
     assert any(r[4] == "the army" for r in noms)
 
 
+def test_possessive_core_heads_possessed_noun():
+    """Genitive modifier: (NP (NP the government 's) (NNS soldiers)) — the
+    possessive tags as a noun slot, the core ends at the possessed noun and
+    heads there."""
+    rows = rows_for("The government's soldiers attacked .")
+    noms = get(rows, "NOM")
+    outer = [r for r in noms if r[4] == "The government's soldiers"]
+    assert outer and outer[0][13] == "soldiers", noms
+    # a bare possessive with no possessed noun types nothing (lemma lookup
+    # fails on the genitive form) and must not crash or emit
+    rows2 = rows_for("The government's was blamed .")
+    assert all(r[13] != "government's" for r in get(rows2, "NOM"))
+
+
 def test_single_word_np_filters_reference_sets():
     """F3 single-token filters use the reference's literal sets
     (nominal.py:48-50): quantifiers/bare-NP words drop, plain nouns pass."""
