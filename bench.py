@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucket",
     "ann_lsh_adaptive",
+    "ann_ivf",
 ]
 
 

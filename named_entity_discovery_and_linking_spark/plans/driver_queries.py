@@ -1168,6 +1168,64 @@ SELECT vec_id, nn_id, cos FROM ranked WHERE rnk = 1
 )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (similarity.ivf_topk): deterministic hash-seeded coarse
+    quantizer -> inverted lists -> nprobe probe -> exact cosine top-k within
+    probed cells.  The oracle replays the identical construction in SQL."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.ivf_topk(emb, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=2)
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cells AS (
+  SELECT vec_id, vec,
+         CAST({portable_hash_sql("CAST(vec_id AS VARCHAR)")} % 8 AS INT) AS cell
+  FROM e),
+means0 AS (
+  SELECT cell, i, round(avg(v), 6) AS m
+  FROM (SELECT cell, unnest(vec) AS v, generate_subscripts(vec, 1) AS i FROM cells)
+  GROUP BY cell, i),
+cents0 AS (SELECT cell, list(m ORDER BY i) AS centroid FROM means0 GROUP BY cell),
+assign0 AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT c.vec_id, c.vec, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM cells c CROSS JOIN cents0 ct) WHERE rn = 1),
+means1 AS (
+  SELECT cell, i, round(avg(v), 6) AS m
+  FROM (SELECT cell, unnest(vec) AS v, generate_subscripts(vec, 1) AS i FROM assign0)
+  GROUP BY cell, i),
+cents AS (SELECT cell, list(m ORDER BY i) AS centroid FROM means1 GROUP BY cell),
+assign AS (
+  SELECT vec_id, vec, cell FROM (
+    SELECT c.vec_id, c.vec, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM cells c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS q_vec FROM assign WHERE vec_id < 5),
+probed AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.q_id, q.q_vec, ct.cell,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, ct.centroid), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+scored AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         round(list_cosine_similarity(p.q_vec, a.vec), 6) AS cos
+  FROM probed p JOIN assign a USING (cell) WHERE a.vec_id <> p.q_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+           FROM scored)
+SELECT q_id, n_id, cos, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_nist_key(spark, sf_dir):
     """The nist_key derivation (main.py:25-61) as window functions over the
     ont_ids scan list: a two-part id keys its subtype iff it is the globally
@@ -1292,6 +1350,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
+    "ann_ivf": q_ann_ivf,
     "nist_key": q_nist_key,
     "kg_mentions": q_kg_mentions,  # golden-parquet oracle (mapInPandas tagger)
     "kg_triples": q_kg_triples,  # golden-parquet oracle (full pipeline)
@@ -1396,6 +1455,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
+    "ann_ivf": _ANN_IVF_SQL,
     "nist_key": _nist_key_sql(),
     # kg_mentions / kg_triples are not SQL-expressible (mapInPandas tagger +
     # iterative connected components), so their oracle is a frozen golden

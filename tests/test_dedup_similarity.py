@@ -124,3 +124,55 @@ def test_fingerprint_order_sensitive(spark):
     )
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
     assert fp[0] == fp[2] != fp[1]
+
+
+def test_ivf_partitions_every_vector_once(spark):
+    """IVF invariants: hash-seeded cells are a partition (every vector in
+    exactly one inverted list), centroids are deterministic across input
+    partitionings, and probing all cells recovers the brute-force top-k."""
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = emb.count()
+    cents = ivf_centroids(emb, n_cells=8)
+    inv = ivf_assign(emb, cents)
+    assert inv.count() == n
+    assert inv.select("vid").distinct().count() == n
+    # determinism across partitionings (content-derived hash seeding)
+    c1 = sorted(map(tuple, cents.collect()))
+    c2 = sorted(map(tuple, ivf_centroids(emb.repartition(7), n_cells=8).collect()))
+    assert c1 == c2
+    # nprobe = n_cells -> exhaustive: equals brute-force cosine top-k
+    from named_entity_discovery_and_linking_spark.operators.similarity import cosine_topk
+
+    exact = sorted(map(tuple, cosine_topk(emb, [0, 1, 2], k=3).collect()))
+    full = sorted(map(tuple, ivf_topk(emb, [0, 1, 2], k=3, n_cells=8, nprobe=8).collect()))
+    assert exact == full
+
+
+def test_ivf_probe_prunes_candidates(spark):
+    """nprobe < n_cells searches a subset: results are a (possibly
+    approximate) top-k drawn only from probed cells, every query still
+    gets k rows at this corpus size, and recall vs brute force is high."""
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = [0, 1, 2, 3, 4]
+    approx = ivf_topk(emb, qs, k=3, n_cells=8, nprobe=2).collect()
+    assert {r["q_id"] for r in approx} == set(qs)
+    assert all(sum(1 for r in approx if r["q_id"] == q) == 3 for q in qs)
+    exact = {(r["q_id"], r["n_id"]) for r in cosine_topk(emb, qs, k=3).collect()}
+    got = {(r["q_id"], r["n_id"]) for r in approx}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
