@@ -108,8 +108,15 @@ def lsh_bucketed_nn(
         F.col("x.vid").alias("vec_id"), F.col("y.vid").alias("nn_id"),
         F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
-    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1).drop("rnk")
+    # argmax (cos desc, nn_id asc) via groupBy max(struct): the within-bucket
+    # pair frame is the BIG one here — partial aggregation collapses it
+    # map-side instead of shuffling every pair through a window sort
+    best = pairs.groupBy("vec_id").agg(
+        F.max(F.struct(
+            F.col("cos"), (-F.col("nn_id")).alias("neg_nn"), F.col("nn_id"),
+        )).alias("b")
+    )
+    return best.select("vec_id", F.col("b.nn_id").alias("nn_id"), F.col("b.cos").alias("cos"))
 
 
 # ------------------------------------------------------------------ IVF
@@ -159,7 +166,10 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Inverted lists: each vector joins its argmax-cosine centroid (ties ->
-    lowest cell id).  Corpus scan x broadcast(k centroids) — linear."""
+    lowest cell id).  Corpus scan x broadcast(k centroids) — linear.  The
+    argmax is a groupBy max(struct(sim, -cell, ...)), NOT a window: partial
+    aggregation collapses the k-fold expansion map-side, so only n rows
+    shuffle instead of n*k sorting through a window."""
     scored = (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(centroids))
@@ -168,12 +178,14 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
             F.round(cosine(F.col("vec"), F.col("centroid")), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vec", "cell")
+    # max over (sim asc-break, -cell) == (sim desc, cell asc) argmax
+    best = scored.groupBy("vid").agg(
+        F.max(F.struct(
+            F.col("sim"), (-F.col("cell")).alias("neg_cell"),
+            F.col("cell"), F.col("vec"),
+        )).alias("b")
     )
+    return best.select("vid", F.col("b.vec").alias("vec"), F.col("b.cell").alias("cell"))
 
 
 def ivf_topk(emb: DataFrame, query_ids: list, k: int = 3, n_cells: int = 8,
