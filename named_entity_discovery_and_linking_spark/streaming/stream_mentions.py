@@ -78,6 +78,51 @@ def run_stream_to_table(
     return q
 
 
+def stream_triples(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    kb: DataFrame, aliases: DataFrame, cfg: TaggerConfig | None = None,
+    timeout_sec: int = 120,
+):
+    """Full KG construction as a stream: every micro-batch of pages runs the
+    SAME batch operators (discover_mentions -> link_mentions -> build_graph)
+    inside ``foreachBatch``, and the batch's triples land in a
+    ``batch_id=<n>`` partition written with dynamic partition overwrite
+    (sources/io.py:write_table).  A replayed micro-batch after a crash
+    carries the same batch_id and REWRITES its own partition instead of
+    appending duplicates — exactly-once at the sink without a transactional
+    format (and a no-op format switch when Iceberg is configured).
+
+    Canonicalization (connected components) is batch-local here: triples
+    within a micro-batch cluster together; the full-corpus batch path is the
+    global variant.  NIL promotion is delegated to
+    ``stateful_nil_promotion`` (cumulative counts need the state store) —
+    this runner links with ``promote=False`` so per-batch counters cannot
+    double-promote across batches.
+    """
+    from ..operators.linking import link_mentions
+    from ..plans.graph import build_graph
+    from ..sources.io import write_table
+
+    pages = read_page_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        m = discover_mentions(batch_df, cfg).localCheckpoint()
+        if not m.take(1):
+            return
+        links = link_mentions(m, kb, aliases, promote=False).localCheckpoint()
+        triples = build_graph(m, links)[0].withColumn("batch_id", F.lit(batch_id))
+        write_table(triples, output_dir, partition_by=["batch_id"])
+
+    q = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
 def stateful_nil_promotion(nil_stream: DataFrame, threshold: int | None = None) -> DataFrame:
     """A1/SNK4 as a TRUE stateful streaming operator
     (``applyInPandasWithState``): the reference's only mutable state is the

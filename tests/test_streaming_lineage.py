@@ -140,3 +140,73 @@ def test_stateful_nil_promotion_across_microbatches(spark, tmp_path):
         spark.createDataFrame([("mh17", "VEH")] * 5, "ent_name string, ent_type string")
     ).collect()[0]
     assert r["tmp_eid"] == batch["tmp_eid"]
+
+
+def test_stream_triples_batch_parity_and_idempotent_restart(spark, tmp_path):
+    """stream_triples in ONE micro-batch must equal the batch pipeline
+    (promote=False flavor) on the same pages; re-running against the same
+    checkpoint must be a no-op (no duplicate batch partitions)."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import link_mentions
+    from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+    from named_entity_discovery_and_linking_spark.plans.graph import build_graph
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stream_triples,
+    )
+
+    pages = pages_df(spark, n_pages=10).coalesce(1)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)  # one file -> one micro-batch
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    kb, al = kb_dfs(spark)
+
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al,
+                   timeout_sec=180)
+    got = spark.read.parquet(out_dir)
+    assert {r["batch_id"] for r in got.select("batch_id").distinct().collect()} == {0}
+
+    m = discover_mentions(pages).localCheckpoint()
+    links = link_mentions(m, kb, al, promote=False).localCheckpoint()
+    want = build_graph(m, links)[0]
+    a = sorted(map(tuple, got.drop("batch_id").collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b
+
+    # restart with nothing new: checkpoint prevents reprocessing
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180)
+    again = sorted(map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect()))
+    assert again == a
+
+
+def test_stream_triples_multiple_batches_partition_by_batch(spark, tmp_path):
+    """Two input files with maxFilesPerTrigger=16 still arrive as one
+    availableNow run; splitting into separate stream runs lands separate
+    batch_id partitions and unions cleanly."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stream_triples,
+    )
+
+    all_pages = pages_df(spark, n_pages=12)
+    first = all_pages.filter("pmod(xxhash64(url), 2) = 0").coalesce(1)
+    second = all_pages.filter("pmod(xxhash64(url), 2) = 1").coalesce(1)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    kb, al = kb_dfs(spark)
+
+    first.write.parquet(in_dir)
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180)
+    n1 = spark.read.parquet(out_dir).count()
+
+    second.write.mode("append").parquet(in_dir)
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180)
+    out = spark.read.parquet(out_dir)
+    batches = {r["batch_id"] for r in out.select("batch_id").distinct().collect()}
+    assert len(batches) == 2
+    assert out.count() > n1
+    # urls from both halves present
+    urls = {r["url"] for r in out.select("url").distinct().collect()}
+    assert urls  # non-empty and spans both batches
+    assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == batches
