@@ -23,30 +23,6 @@ from pyspark.sql import functions as F
 MAX_CC_ROUNDS = 12
 
 
-def mention_edges(mentions: DataFrame, links: DataFrame) -> DataFrame:
-    """Build the similarity-graph edges (src, dst) between mention ids.
-
-    To avoid materializing O(k^2) edges per equivalence group (mega-entity
-    skew!), each group emits a star: every member connects to the group's
-    min mention id.  That is enough for connected components and is the
-    standard skew-defusing construction.
-    """
-    nam = mentions.filter(F.col("category") == "NAM").select(
-        "mid", F.lower(F.col("mention")).alias("name_norm"), F.col("coarse_type")
-    )
-    top_links = links.filter(F.col("rank") == 1).select("mid", "eid")
-
-    by_name = nam.groupBy("name_norm", "coarse_type").agg(
-        F.collect_list("mid").alias("mids"), F.min("mid").alias("root")
-    )
-    e1 = by_name.select(F.explode("mids").alias("src"), F.col("root").alias("dst"))
-    by_eid = top_links.groupBy("eid").agg(
-        F.collect_list("mid").alias("mids"), F.min("mid").alias("root")
-    )
-    e2 = by_eid.select(F.explode("mids").alias("src"), F.col("root").alias("dst"))
-    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
-
-
 def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
     """Min-label propagation WITH pointer jumping over (src, dst) edges.
 

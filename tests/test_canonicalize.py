@@ -85,3 +85,36 @@ def test_same_eid_links_merge_clusters(spark):
     )
     cc = {r["mid"]: r["cluster_id"] for r in cluster_mentions(mentions, links).collect()}
     assert cc["m1"] == cc["m2"]
+
+
+def test_mega_cluster_contraction_handles_hot_entity(spark):
+    """Mega-entity skew guard: 100k NAM mentions of ONE name contract to a
+    single graph node, cluster in bounded time, and the A2/A3 path elects
+    once.  Guards the claim in cluster_mentions' docstring — at 100 TB a
+    hot entity ('Ukraine' across a crawl) must contribute one contracted
+    node, never a window partition of corpus size."""
+    import time
+
+    from named_entity_discovery_and_linking_spark.operators.canonicalize import (
+        canonical_entities,
+        cluster_mentions,
+    )
+
+    n = 100_000
+    mentions = spark.range(n).select(
+        F.concat(F.lit("d"), (F.col("id") % 5000).cast("string"),
+                 F.lit("#m"), F.col("id").cast("string")).alias("mid"),
+        F.lit("NAM").alias("category"),
+        F.lit("Ukraine").alias("mention"),
+        F.lit("GPE").alias("coarse_type"),
+    )
+    links = spark.createDataFrame([], "mid string, eid string, cname string, "
+                                      "confidence double, rank int")
+    t0 = time.time()
+    clusters = cluster_mentions(mentions, links).localCheckpoint()
+    assert clusters.count() == n
+    assert clusters.select("cluster_id").distinct().count() == 1
+    ents = canonical_entities(clusters, links, mentions).collect()
+    wall = time.time() - t0
+    assert len(ents) == 1 and ents[0]["cname"] == "Ukraine"
+    assert wall < 120, f"mega-cluster path took {wall:.1f}s"
