@@ -92,6 +92,25 @@ def main():
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / triple_sec, 1),
     }
+    # attach the latest confined N->4N scaling evidence (north_rule: measured
+    # at two parallelism levels; regenerate with scripts/bench_scaling.py or
+    # scripts/serial_attribution.py on an IDLE machine)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            legs = json.load(f).get("legs", [])
+        if legs:
+            leg = legs[0]
+            out["scaling"] = {
+                "leg": leg.get("name"),
+                "t_N_sec": leg["N"]["sec"], "t_4N_sec": leg["4N"]["sec"],
+                "throughput_N": leg["N"].get("triples_per_sec"),
+                "throughput_4N": leg["4N"].get("triples_per_sec"),
+                "raw_efficiency": leg.get("raw_efficiency"),
+                "normalized_cpu": leg.get("normalized_cpu"),
+                "meets_bar": leg.get("meets_bar"),
+            }
     print(json.dumps(out))
 
 
