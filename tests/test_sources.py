@@ -125,3 +125,49 @@ def test_multimodal_strict_raises(spark):
 
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(media_fixture(spark, 3), strict=True).collect()
+
+
+def test_conll_scorer_reproduces_reference_score_files():
+    """External validation of conll_f1: score the reference's own checked-in
+    gold+pred CoNLL files and reproduce the perl conll03eval.v2 headline
+    numbers byte-for-byte as recorded in its score files (ner.py:191-202
+    parses the same two-line header).
+
+      ner-xianyang.conll     <-> ner_score.txt      (BERT NER dev doc)
+      nominal-xianyang.conll <-> nominal_score.txt  (nominal extraction)
+      elisa_2.conll          <-> score.txt          (the survey's headline
+                                                     P 80.65 / R 67.57)
+    """
+    import os
+
+    import pytest as _pytest
+
+    ref = "/root/reference/code_ner_bert"
+    if not os.path.isdir(ref):
+        _pytest.skip("reference checkout absent")
+
+    def load(path):
+        rows, sid = [], 0
+        for line in open(path):
+            parts = line.split()
+            if not parts:
+                sid += 1
+                continue
+            if parts[0] == "1":
+                sid += 1  # conll03eval sentence boundary: token ids restart
+            rows.append((sid, parts[-2], parts[-1]))
+        return rows
+
+    expected = {
+        # file -> (accuracy, precision, recall, f1, gold_phrases, found)
+        "ner-xianyang.conll": (94.09, 71.23, 70.27, 70.75, 74, 73),
+        "nominal-xianyang.conll": (95.22, 73.58, 61.90, 67.24, 63, 53),
+        "elisa_2.conll": (94.97, 80.65, 67.57, 73.53, 74, 62),
+    }
+    for fname, (acc, p, r, f1, gold, found) in expected.items():
+        s = conll_f1(load(os.path.join(ref, fname)))
+        assert round(s["accuracy"] * 100, 2) == acc, fname
+        assert round(s["precision"] * 100, 2) == p, fname
+        assert round(s["recall"] * 100, 2) == r, fname
+        assert round(s["f1"] * 100, 2) == f1, fname
+        assert (s["gold_phrases"], s["found_phrases"]) == (gold, found), fname
