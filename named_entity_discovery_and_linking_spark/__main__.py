@@ -31,7 +31,13 @@ def main(argv=None):
                     help="CSR language route (run_linking.sh arg 3)")
     ap.add_argument("--in-dir", dest="in_dir", default=None, help="CSR input dir (*.csr.json)")
     ap.add_argument("--pages", default=None, help="parquet dir with (url, warc_ts, html, text, lang)")
-    ap.add_argument("--out", required=True, help="output root (tables written under it)")
+    ap.add_argument("--query", nargs=2, action="append", metavar=("NAME", "TYPE"),
+                    help="one-shot linker probe (repeatable) — the --query REPL "
+                         "of linking.py:753-759; prints every ranked candidate")
+    ap.add_argument("--map-file", dest="map_file", default=None,
+                    help="audit CSV of (name, concept) pairs "
+                         "(linking.py:769-807; type from filename)")
+    ap.add_argument("--out", default=None, help="output root (tables written under it)")
     ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
     ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
     ap.add_argument("--buckets", type=int, default=64, help="url-hash lineage buckets")
@@ -54,6 +60,38 @@ def main(argv=None):
     else:
         spark = get_spark("ndl-kg-job", master=args.master)
 
+    if args.query or args.map_file:
+        from .operators.linking import audit_map_file, query_kb
+
+        if args.kb:
+            from .sources.kb_tsv import load_aliases_tab, load_entities_tab
+
+            kb = load_entities_tab(spark, args.kb)
+            aliases = (
+                load_aliases_tab(spark, args.aliases)
+                if args.aliases
+                else spark.createDataFrame([], "eid string, alias string")
+            )
+        else:
+            from .fixtures.generator import kb_dfs
+
+            kb, aliases = kb_dfs(spark)
+        if args.query:
+            out = query_kb(spark, kb, aliases, [tuple(q) for q in args.query])
+        else:
+            out = audit_map_file(spark, kb, aliases, args.map_file)
+        rows = out.orderBy("q_name", "rank").collect()
+        for r in rows:
+            print("\t".join("none" if v is None else str(v) for v in r))
+        if args.query:
+            hit = {r["q_name"] for r in rows}
+            for name, typ in args.query:
+                if name not in hit:
+                    print(f"{name}\t{typ}\tnone")  # the REPL prints 'none'
+        return 0
+
+    if not args.out:
+        ap.error("--out is required for job modes")
     if args.run_csr:
         if not args.in_dir:
             ap.error("--run-csr requires --in-dir")

@@ -584,3 +584,76 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
     tmp_links = tmpkb_lookup(nil_queries, tmpkb)
 
     return kb_links.unionByName(tmp_links)
+
+
+def query_kb(spark, kb: DataFrame, aliases: DataFrame, queries: list,
+             context: str = "") -> DataFrame:
+    """``EntityLinker.query`` / the ``--query`` probe (linking.py:753-759)
+    as a one-shot distributed call: every (name, type) pair behaves like a
+    NAM mention carrying ``context`` as its sentence, and EVERY gated
+    candidate comes back ranked (the REPL prints the full list, not top-1).
+
+    Returns (q_name, q_type, eid, cname, confidence, rank, country, feature,
+    wiki) — the KB attribute columns reproduce the ``info`` fields the
+    reference prints per candidate (linking.py:788-806).  Bare types
+    ("GPE") are prefixed to ldcOnt: like the REPL does."""
+    rows = [
+        (f"query://{i}", f"q{i}", "NAM", name,
+         typ if typ.startswith("ldcOnt:") else "ldcOnt:" + typ, context)
+        for i, (name, typ) in enumerate(queries)
+    ]
+    mentions = spark.createDataFrame(
+        rows,
+        "url string, mid string, category string, mention string, "
+        "type string, sent_text string",
+    )
+    kbc = clean_kb(kb)
+    alias_table = build_alias_table(kbc, aliases).localCheckpoint()
+    q = _nam_queries(mentions)
+    cands = generate_candidates_unified(q, alias_table, MAX_FUZZY_DIST)
+    ranked = disambiguate(score_candidates(cands, q), q)
+    return (
+        ranked.join(mentions.select("mid", F.col("mention").alias("q_name"),
+                                    F.col("type").alias("q_type")), "mid")
+        .join(F.broadcast(kbc.select("eid", "country", "feature", "wiki")), "eid", "left")
+        .select("q_name", "q_type", "eid", "cname", "confidence", "rank",
+                "country", "feature", "wiki")
+    )
+
+
+def audit_map_file(spark, kb: DataFrame, aliases: DataFrame, path: str) -> DataFrame:
+    """The ``--map_file`` audit (linking.py:769-807): link a CSV of known
+    (name, concept) pairs and return every candidate per name for
+    eyeballing.  Faithful quirks: only rows whose first field is 'L' count,
+    name/concept drop their first character (the reference strips a quote
+    byte), and the entity type comes from the FILENAME ('named_gpe' -> GPE,
+    'named_people' -> PER).  One distributed linking job for the whole file
+    instead of the reference's per-row sequential loop."""
+    import csv
+    import os
+
+    fname = os.path.basename(path)
+    if "named_gpe" in fname:
+        enttype = "GPE"
+    elif "named_people" in fname:
+        enttype = "PER"
+    else:
+        raise ValueError("map file name must contain 'named_gpe' or 'named_people'"
+                         " (linking.py:772-776 derives the type from it)")
+    pairs = []
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.reader(f):
+            if not row or row[0] != "L":
+                continue
+            pairs.append((row[1][1:], row[2][1:]))
+    if not pairs:
+        return spark.createDataFrame(
+            [], "q_name string, concept string, eid string, cname string, "
+                "confidence double, rank int, country string, feature string, wiki string")
+    result = query_kb(spark, kb, aliases, [(n, enttype) for n, _ in pairs])
+    concepts = spark.createDataFrame(pairs, "q_name string, concept string")
+    return (
+        result.join(F.broadcast(concepts), "q_name", "right")
+        .select("q_name", "concept", "eid", "cname", "confidence", "rank",
+                "country", "feature", "wiki")
+    )

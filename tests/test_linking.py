@@ -135,3 +135,55 @@ def test_link_mentions_end_to_end_deterministic(spark, kb):
         a.repartition(5).sortWithinPartitions("alias"),
     ).filter("rank=1").collect()))
     assert l1 == l3
+
+
+def test_query_kb_probe(spark):
+    """--query probe (linking.py:753-759): full ranked candidate list with
+    KB attribute columns; bare types get the ldcOnt: prefix."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import query_kb
+
+    kb, al = kb_dfs(spark)
+    out = query_kb(spark, kb, al, [("Kyiv", "GPE"), ("Nosuchplace12345", "GPE")])
+    rows = out.collect()
+    kyiv = [r for r in rows if r["q_name"] == "Kyiv"]
+    assert kyiv and kyiv[0]["q_type"] == "ldcOnt:GPE"
+    assert any(r["rank"] == 1 for r in kyiv)
+    assert all(r["cname"] is not None for r in kyiv)
+    # KB attribute columns ride along (the printed 'info' fields)
+    assert {"country", "feature", "wiki"} <= set(out.columns)
+    # unlinkable name -> no rows (the CLI prints the REPL's 'none')
+    assert not [r for r in rows if r["q_name"] == "Nosuchplace12345"]
+
+
+def test_audit_map_file(spark, tmp_path):
+    """--map_file audit (linking.py:769-807): 'L' rows only, first char of
+    name/concept stripped, type from filename, every name present in the
+    output even when unlinked."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import audit_map_file
+
+    p = tmp_path / "named_gpe_audit.csv"
+    p.write_text("L,'Kyiv,'concept:kyiv\nX,'Skipme,'concept:skip\nL,'Qqqq,'concept:q\n")
+    kb, al = kb_dfs(spark)
+    out = audit_map_file(spark, kb, al, str(p)).collect()
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["q_name"], []).append(r)
+    assert set(by_name) == {"Kyiv", "Qqqq"}          # non-L row skipped
+    assert by_name["Kyiv"][0]["concept"] == "concept:kyiv"
+    assert any(r["eid"] for r in by_name["Kyiv"])     # linked
+    assert all(r["eid"] is None for r in by_name["Qqqq"])  # 'none' row kept
+
+
+def test_audit_map_file_requires_typed_filename(spark, tmp_path):
+    import pytest as _pytest
+
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import audit_map_file
+
+    p = tmp_path / "other.csv"
+    p.write_text("L,x,y\n")
+    kb, al = kb_dfs(spark)
+    with _pytest.raises(ValueError):
+        audit_map_file(spark, kb, al, str(p))
