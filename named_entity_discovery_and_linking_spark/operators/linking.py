@@ -657,3 +657,26 @@ def audit_map_file(spark, kb: DataFrame, aliases: DataFrame, path: str) -> DataF
         .select("q_name", "concept", "eid", "cname", "confidence", "rank",
                 "country", "feature", "wiki")
     )
+
+
+def query_tmpkb(spark, queries: list, tmpkb: DataFrame | None = None) -> DataFrame:
+    """The ``--query_tmp`` probe (linking.py:760-768): TemporaryKB.query for
+    (name, type) pairs.  Types are the three-letter coarse codes here (the
+    tmp KB stores type3, linking.py:345-352); defaults to the seeded tmp KB
+    (MH17 / T-34) when no tmp-KB frame is supplied."""
+    tmpkb = tmpkb if tmpkb is not None else tmpkb_seed(spark)
+    rows = [(f"query://{i}", f"q{i}", name.lower(), typ, [""])
+            for i, (name, typ) in enumerate(queries)]
+    nil_queries = spark.createDataFrame(
+        rows, "url string, mid string, ent_name string, ent_type string, "
+              "ctx_tokens array<string>",
+    )
+    names = spark.createDataFrame(
+        [(f"q{i}", n, t) for i, (n, t) in enumerate(queries)],
+        "mid string, q_name string, q_type string",
+    )
+    return (
+        tmpkb_lookup(nil_queries, tmpkb)
+        .join(F.broadcast(names), "mid")
+        .select("q_name", "q_type", "eid", "cname", "confidence", "rank")
+    )

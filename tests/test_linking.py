@@ -187,3 +187,15 @@ def test_audit_map_file_requires_typed_filename(spark, tmp_path):
     kb, al = kb_dfs(spark)
     with _pytest.raises(ValueError):
         audit_map_file(spark, kb, al, str(p))
+
+
+def test_query_tmpkb_probe(spark):
+    """--query_tmp probe (linking.py:760-768): seeded tmp-KB lookup with
+    deterministic @sha1 ids; misses return no rows."""
+    from named_entity_discovery_and_linking_spark.operators.linking import query_tmpkb
+
+    out = {r["q_name"]: r for r in query_tmpkb(
+        spark, [("MH17", "VEH"), ("Unknown999", "VEH")]).collect()}
+    assert set(out) == {"MH17"}
+    assert out["MH17"]["eid"].startswith("tmpkb:@")
+    assert out["MH17"]["confidence"] == 1.0 and out["MH17"]["rank"] == 1
