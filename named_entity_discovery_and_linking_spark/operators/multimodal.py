@@ -88,16 +88,26 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled timestamp,
-    count derived from meta.duration_ms — the explode shape is real, the
-    frame decode is the stub."""
-    timed = media.filter(F.col("kind") == "video").select(
-        "media_id", "payload",
+def sample_timestamps(media: DataFrame, every_ms: int = 1000,
+                      extra_cols: tuple = ("payload",)) -> DataFrame:
+    """The sampling-grid plan of ``sample_frames``: one row per sampled
+    timestamp 0, every_ms, 2*every_ms, ... < meta.duration_ms.  Pure Column
+    expressions (sequence + explode) — the DISTRIBUTED part of video
+    sampling, split out so the correctness gate can oracle-check it
+    (q_frame_sample) independently of the stubbed frame decode."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", *extra_cols,
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms))
         ).alias("ts_ms"),
     )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled timestamp,
+    count derived from meta.duration_ms — the explode shape is real, the
+    frame decode is the stub."""
+    timed = sample_timestamps(media, every_ms)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1168,6 +1168,40 @@ SELECT vec_id, nn_id, cos FROM ranked WHERE rnk = 1
 )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal sampling plumbing (operators/multimodal.sample_timestamps):
+    a deterministic video table synthesized from documents (duration from
+    the portable hash), sampled every 700 ms.  The oracle replays the grid
+    with generate_series; the stubbed frame decode stays pytest-pinned."""
+    from ..functions.hashing import portable_hash
+    from ..operators.multimodal import sample_timestamps
+
+    media = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.pmod(portable_hash(F.col("doc_id").cast("string")), F.lit(5000)) + 500)
+            .cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    return sample_timestamps(media, every_ms=700, extra_cols=()).select(
+        "media_id", F.col("ts_ms").cast("bigint").alias("ts_ms")
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+SELECT 'v' || CAST(d.doc_id AS VARCHAR) AS media_id, CAST(t.ts_ms AS BIGINT) AS ts_ms
+FROM (SELECT doc_id,
+             {portable_hash_sql("CAST(doc_id AS VARCHAR)")} % 5000 + 500 AS duration_ms
+      FROM documents) d,
+     LATERAL (SELECT unnest(generate_series(0, CAST(greatest(d.duration_ms - 1, 0) AS BIGINT), 700)) AS ts_ms) t
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN (similarity.ivf_topk): deterministic hash-seeded coarse
     quantizer -> inverted lists -> nprobe probe -> exact cosine top-k within
@@ -1351,6 +1385,7 @@ QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
     "ann_ivf": q_ann_ivf,
+    "frame_sample": q_frame_sample,
     "nist_key": q_nist_key,
     "kg_mentions": q_kg_mentions,  # golden-parquet oracle (mapInPandas tagger)
     "kg_triples": q_kg_triples,  # golden-parquet oracle (full pipeline)
@@ -1456,6 +1491,7 @@ ORACLES = {
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
     "ann_ivf": _ANN_IVF_SQL,
+    "frame_sample": _FRAME_SAMPLE_SQL,
     "nist_key": _nist_key_sql(),
     # kg_mentions / kg_triples are not SQL-expressible (mapInPandas tagger +
     # iterative connected components), so their oracle is a frozen golden
