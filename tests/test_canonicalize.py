@@ -118,3 +118,53 @@ def test_mega_cluster_contraction_handles_hot_entity(spark):
     wall = time.time() - t0
     assert len(ents) == 1 and ents[0]["cname"] == "Ukraine"
     assert wall < 120, f"mega-cluster path took {wall:.1f}s"
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """20 seeded random graphs (varying density, chains, stars, isolated
+    pairs) run through ONE connected_components call (disjoint id spaces),
+    compared against a plain union-find: component partition must match
+    exactly, including the min-id cluster labels."""
+    import random
+
+    from named_entity_discovery_and_linking_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    expected_parent = {}
+
+    def uf_build(nodes, es):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    for g in range(20):
+        n = rng.randint(2, 40)
+        nodes = [f"g{g:02d}n{i:03d}" for i in range(n)]
+        if g % 4 == 0:      # chain (worst diameter for plain propagation)
+            es = list(zip(nodes, nodes[1:]))
+        elif g % 4 == 1:    # star
+            es = [(nodes[0], x) for x in nodes[1:]]
+        else:               # random sparse
+            es = [tuple(rng.sample(nodes, 2)) for _ in range(max(1, n // 2))]
+        edges.extend(es)
+        expected_parent.update(uf_build(nodes, es))
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["mid"]: r["cluster_id"] for r in connected_components(df).collect()}
+    # connected_components labels only nodes that appear in edges
+    touched = {a for e in edges for a in e}
+    want = {n: p for n, p in expected_parent.items() if n in touched}
+    assert got == want
