@@ -31,6 +31,12 @@ def main(argv=None):
                     help="CSR language route (run_linking.sh arg 3)")
     ap.add_argument("--in-dir", dest="in_dir", default=None, help="CSR input dir (*.csr.json)")
     ap.add_argument("--pages", default=None, help="parquet dir with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--ltf-dir", dest="ltf_dir", default=None,
+                    help="directory of LDC LTF XML files (ner_bert_run.sh input; "
+                         "parsed into the pages table, SRC1/SRC4)")
+    ap.add_argument("--mentions-json", dest="mentions_json", action="store_true",
+                    help="also write per-document mention JSON files "
+                         "(SNK1, main.py:286 shape) under <out>/mentions_json/")
     ap.add_argument("--query", nargs=2, action="append", metavar=("NAME", "TYPE"),
                     help="one-shot linker probe (repeatable) — the --query REPL "
                          "of linking.py:753-759; prints every ranked candidate")
@@ -111,9 +117,14 @@ def main(argv=None):
         print(f"done: {n} CSR files -> {args.out}")
         return 0
 
-    if not args.pages:
-        ap.error("--pages is required (or use --run-csr)")
-    pages = spark.read.parquet(args.pages)
+    if not args.pages and not args.ltf_dir:
+        ap.error("--pages or --ltf-dir is required (or use --run-csr)")
+    if args.ltf_dir:
+        from .sources.ltf_xml import ltf_dir_to_pages
+
+        pages = ltf_dir_to_pages(spark, args.ltf_dir)
+    else:
+        pages = spark.read.parquet(args.pages)
 
     lineage_dir = os.path.join(args.out, "_lineage")
     mentions = run_stage(
@@ -133,6 +144,11 @@ def main(argv=None):
         from .fixtures.generator import kb_dfs
 
         kb, aliases = kb_dfs(spark)
+
+    if args.mentions_json:
+        from .sources.json_compat import write_mention_json_dir
+
+        write_mention_json_dir(mentions, os.path.join(args.out, "mentions_json"))
 
     links = link_mentions(mentions, kb, aliases).localCheckpoint()
     write_table(links, os.path.join(args.out, "links"))

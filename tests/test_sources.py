@@ -171,3 +171,58 @@ def test_conll_scorer_reproduces_reference_score_files():
         assert round(s["recall"] * 100, 2) == r, fname
         assert round(s["f1"] * 100, 2) == f1, fname
         assert (s["gold_phrases"], s["found_phrases"]) == (gold, found), fname
+
+
+def test_ltf_cli_end_to_end_with_json_sink(spark, tmp_path):
+    """E1 CLI parity (ner_bert_run.sh): an LTF directory in, per-document
+    mention JSON files + triples tables out, no driver-side file loop."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ref_ltf = "/root/reference/code_ner_bert"
+    # build a tiny LTF dir from the fixture pages instead of reference data
+    from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+
+    from xml.sax.saxutils import escape
+
+    pages = pages_df(spark, n_pages=6).filter("lang = 'eng'").collect()
+    in_dir = tmp_path / "ltf"
+    in_dir.mkdir()
+    for p in pages:
+        sents = [s.strip() for s in (p["text"] or "").split(". ") if s.strip()][:3]
+        seg_xml, pos = [], 1  # LTF offsets are 1-based inclusive
+        for i, s in enumerate(sents):
+            tok_xml, sb = [], pos
+            for w in s.split():
+                tok_xml.append(
+                    f'<TOKEN start_char="{pos}" end_char="{pos + len(w) - 1}">'
+                    f"{escape(w)}</TOKEN>"
+                )
+                pos += len(w) + 1
+            seg_xml.append(
+                f'<SEG id="s{i}" start_char="{sb}" end_char="{pos - 2}">'
+                f'{"".join(tok_xml)}</SEG>'
+            )
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8"?><LCTL_TEXT lang="eng">'
+            '<DOC id="%s"><TEXT>%s</TEXT></DOC></LCTL_TEXT>'
+            % (p["url"].replace("/", "_"), "".join(seg_xml))
+        )
+        (in_dir / (p["url"].replace("/", "_") + ".ltf.xml")).write_text(doc)
+
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "named_entity_discovery_and_linking_spark",
+         "--ltf-dir", str(in_dir), "--out", str(out_dir), "--mentions-json",
+         "--buckets", "4"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    jdir = out_dir / "mentions_json"
+    files = sorted(os.listdir(jdir))
+    assert files and all(f.endswith(".json") for f in files)
+    doc = json.loads((jdir / files[0]).read_text())
+    assert isinstance(doc, list) and "inputSentence" in doc[0]
+    assert (out_dir / "triples").exists()
