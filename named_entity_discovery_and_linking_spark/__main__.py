@@ -52,7 +52,6 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from .operators.linking import link_mentions
     from .operators.mentions import discover_mentions
     from .plans.graph import build_graph
     from .plans.lineage import run_stage
@@ -150,7 +149,11 @@ def main(argv=None):
 
         write_mention_json_dir(mentions, os.path.join(args.out, "mentions_json"))
 
-    links = link_mentions(mentions, kb, aliases).localCheckpoint()
+    from .operators.linking import link_mentions_resumable
+
+    links = link_mentions_resumable(
+        spark, mentions, kb, aliases, args.out, lineage_dir, args.buckets
+    ).localCheckpoint()
     write_table(links, os.path.join(args.out, "links"))
 
     triples, nodes, edges = build_graph(mentions, links)

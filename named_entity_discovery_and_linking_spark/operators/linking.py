@@ -680,3 +680,52 @@ def query_tmpkb(spark, queries: list, tmpkb: DataFrame | None = None) -> DataFra
         .join(F.broadcast(names), "mid")
         .select("q_name", "q_type", "eid", "cname", "confidence", "rank")
     )
+
+
+def link_mentions_resumable(spark, mentions: DataFrame, kb: DataFrame,
+                            aliases: DataFrame, out_dir: str, lineage_dir: str,
+                            n_buckets: int = 16, promote: bool = True,
+                            broadcast_index: bool | None = None) -> DataFrame:
+    """link_mentions with a bucket-resumable KB phase (north_rule resume).
+
+    The expensive part of linking — candidate generation + scoring + ranking
+    — is per-mention independent, so it runs through plans.lineage.run_stage
+    on url-hash buckets: a killed job resumes by skipping completed buckets
+    and overwriting only recomputed partitions.  NIL detection is also
+    per-mention (no gated candidate), but the PROMOTION threshold counts
+    still-NIL mentions across the WHOLE corpus (linking.py:469-475), so the
+    NIL tail is recomputed globally on every run — it is an anti-join plus
+    a groupBy over the small NIL remainder, cheap relative to the KB phase.
+    Output is row-identical to link_mentions on the same inputs.
+    """
+    from ..plans.lineage import run_stage
+    from ..session import materialize
+
+    alias_table = build_alias_table(clean_kb(kb), aliases).localCheckpoint()
+
+    def kb_phase(m_subset: DataFrame) -> DataFrame:
+        q = materialize(_nam_queries(m_subset), "queries")
+        cands = generate_candidates_unified(q, alias_table, MAX_FUZZY_DIST,
+                                            broadcast_index=broadcast_index)
+        scored = disambiguate(score_candidates(cands, q), q)
+        return scored.select(
+            "url", "mid",
+            F.concat(F.lit("refkb:"), F.col("eid")).alias("eid"),
+            "cname", "confidence", "rank",
+            F.lit(0).alias("subcomponent"),
+        )
+
+    kb_links = run_stage(spark, mentions, "kb_links", kb_phase,
+                         out_dir, lineage_dir, n_buckets).drop("bucket")
+
+    queries = _nam_queries(mentions)
+    nil_queries = queries.join(kb_links.select("mid").distinct(), "mid", "left_anti")
+    seed = tmpkb_seed(spark)
+    unresolved = nil_queries.join(
+        F.broadcast(seed),
+        (F.lower(seed.name) == nil_queries.ent_name) & (seed.type == nil_queries.ent_type),
+        "left_anti",
+    )
+    tmpkb = seed.unionByName(promote_nils(unresolved)) if promote else seed
+    tmp_links = tmpkb_lookup(nil_queries, tmpkb)
+    return kb_links.unionByName(tmp_links)

@@ -210,3 +210,73 @@ def test_stream_triples_multiple_batches_partition_by_batch(spark, tmp_path):
     urls = {r["url"] for r in out.select("url").distinct().collect()}
     assert urls  # non-empty and spans both batches
     assert {r["batch_id"] for r in out.select("batch_id").distinct().collect()} == batches
+
+
+def test_resumable_linking_matches_and_skips(spark, tmp_path):
+    """link_mentions_resumable: row-identical to link_mentions on the same
+    inputs; a second run recomputes NO kb-link bucket (lineage hit) and
+    returns the same rows."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        link_mentions,
+        link_mentions_resumable,
+    )
+    from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+    from named_entity_discovery_and_linking_spark.plans.lineage import completed_buckets
+
+    pages = pages_df(spark, n_pages=20)
+    kb, al = kb_dfs(spark)
+    m = discover_mentions(pages).localCheckpoint()
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+
+    want = sorted(map(tuple, link_mentions(m, kb, al).collect()))
+    got1 = sorted(map(tuple, link_mentions_resumable(
+        spark, m, kb, al, out, lin, n_buckets=4).collect()))
+    assert got1 == want
+
+    done_after_first = set(completed_buckets(spark, lin, "kb_links"))
+    assert done_after_first  # buckets recorded
+
+    # second run: every bucket already done -> pure read path, same rows
+    got2 = sorted(map(tuple, link_mentions_resumable(
+        spark, m, kb, al, out, lin, n_buckets=4).collect()))
+    assert got2 == want
+    assert set(completed_buckets(spark, lin, "kb_links")) == done_after_first
+
+
+def test_resumable_linking_partial_resume(spark, tmp_path):
+    """Simulated crash: lineage knows only SOME buckets; the re-run computes
+    just the missing ones and the union is still identical."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        link_mentions,
+        link_mentions_resumable,
+    )
+    from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+    from named_entity_discovery_and_linking_spark.plans.lineage import (
+        completed_buckets,
+        read_lineage,
+    )
+
+    pages = pages_df(spark, n_pages=20)
+    kb, al = kb_dfs(spark)
+    m = discover_mentions(pages).localCheckpoint()
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+
+    link_mentions_resumable(spark, m, kb, al, out, lin, n_buckets=4)
+    # "crash": drop lineage rows for half the buckets (output stays on disk —
+    # the overwrite of those buckets must be idempotent)
+    keep = read_lineage(spark, lin).filter("bucket < 2").collect()
+    import shutil
+
+    shutil.rmtree(lin)
+    if keep:
+        spark.createDataFrame(keep).write.mode("overwrite").parquet(lin)
+
+    want = sorted(map(tuple, link_mentions(m, kb, al).collect()))
+    got = sorted(map(tuple, link_mentions_resumable(
+        spark, m, kb, al, out, lin, n_buckets=4).collect()))
+    assert got == want
+    assert len(set(completed_buckets(spark, lin, "kb_links"))) == 4
