@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--mentions-json", dest="mentions_json", action="store_true",
                     help="also write per-document mention JSON files "
                          "(SNK1, main.py:286 shape) under <out>/mentions_json/")
+    ap.add_argument("--stream", action="store_true",
+                    help="run the KG build as a stream over --pages (file "
+                         "source, availableNow): exactly-once batch_id "
+                         "partitions under <out>/triples")
     ap.add_argument("--query", nargs=2, action="append", metavar=("NAME", "TYPE"),
                     help="one-shot linker probe (repeatable) — the --query REPL "
                          "of linking.py:753-759; prints every ranked candidate")
@@ -118,6 +122,32 @@ def main(argv=None):
 
     if not args.pages and not args.ltf_dir:
         ap.error("--pages or --ltf-dir is required (or use --run-csr)")
+    if args.stream:
+        if not args.pages:
+            ap.error("--stream requires --pages (a parquet directory the "
+                     "file source watches)")
+        from .streaming.stream_mentions import stream_triples
+
+        if args.kb:
+            from .sources.kb_tsv import load_aliases_tab, load_entities_tab
+
+            kb = load_entities_tab(spark, args.kb)
+            aliases = (
+                load_aliases_tab(spark, args.aliases)
+                if args.aliases
+                else spark.createDataFrame([], "eid string, alias string")
+            )
+        else:
+            from .fixtures.generator import kb_dfs
+
+            kb, aliases = kb_dfs(spark)
+        stream_triples(
+            spark, args.pages, os.path.join(args.out, "triples"),
+            os.path.join(args.out, "_stream_checkpoint"), kb, aliases,
+        )
+        n = spark.read.parquet(os.path.join(args.out, "triples")).count()
+        print(f"done (stream): {n} triples -> {args.out}")
+        return 0
     if args.ltf_dir:
         from .sources.ltf_xml import ltf_dir_to_pages
 

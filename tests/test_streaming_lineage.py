@@ -280,3 +280,23 @@ def test_resumable_linking_partial_resume(spark, tmp_path):
         spark, m, kb, al, out, lin, n_buckets=4).collect()))
     assert got == want
     assert len(set(completed_buckets(spark, lin, "kb_links"))) == 4
+
+
+def test_stream_cli_mode(spark, tmp_path):
+    """--stream CLI: pages parquet in, batch_id-partitioned triples out."""
+    import subprocess
+    import sys
+
+    pages = pages_df(spark, n_pages=8).coalesce(1)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    out_dir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "named_entity_discovery_and_linking_spark",
+         "--stream", "--pages", in_dir, "--out", str(out_dir)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(str(out_dir / "triples"))
+    assert got.count() > 0
+    assert "batch_id" in got.columns
