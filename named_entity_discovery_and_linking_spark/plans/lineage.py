@@ -34,7 +34,10 @@ def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
     if not os.path.exists(lineage_dir):
         return spark.createDataFrame([], LINEAGE_SCHEMA)
     try:
-        return spark.read.parquet(lineage_dir)
+        # explicit schema: inference would take the first part-file's
+        # physical types, which breaks if a foreign writer ever lands a
+        # wider column; the lineage contract is exactly LINEAGE_SCHEMA
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
     except Exception:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
 

@@ -271,9 +271,15 @@ def test_resumable_linking_partial_resume(spark, tmp_path):
     keep = read_lineage(spark, lin).filter("bucket < 2").collect()
     import shutil
 
+    from named_entity_discovery_and_linking_spark.plans.lineage import LINEAGE_SCHEMA
+
     shutil.rmtree(lin)
     if keep:
-        spark.createDataFrame(keep).write.mode("overwrite").parquet(lin)
+        # rewrite with the CANONICAL schema: a bare createDataFrame infers
+        # bucket as bigint, and mixing INT64/INT32 physical types across
+        # lineage part-files makes the read order-dependent
+        spark.createDataFrame([tuple(r) for r in keep], LINEAGE_SCHEMA) \
+            .write.mode("overwrite").parquet(lin)
 
     want = sorted(map(tuple, link_mentions(m, kb, al).collect()))
     got = sorted(map(tuple, link_mentions_resumable(
