@@ -9,8 +9,14 @@ Scale notes:
 - exact dedup is a single hash-groupBy (map-side combinable);
 - Jaccard/minhash candidate pairs join on *shingle* or *band* keys, never
   doc x doc — the classic blowup guard; band width tunes recall vs cost;
-- at 100 TB the shingle join would be bucketed on the shingle hash; here AQE
-  handles it (skewed shingles get split).
+- HOT-KEY quadratic corner: a shingle shared by d documents emits d^2 pairs
+  from the self-join.  AQE splits the skewed partition but cannot shrink the
+  pair count — a boilerplate 3-gram in 1M docs is 10^12 pairs.  The fix is
+  the ``max_df`` document-frequency cap: shingles with df > max_df carry
+  ~zero Jaccard information (they are corpus-wide boilerplate) and are
+  dropped BEFORE the join, bounding per-shingle work at max_df^2.  At 100 TB
+  set max_df ~ 1e-4 x corpus size; it defaults to None (off) so the exact
+  semantics stay oracle-replicable at test scale.
 """
 
 from __future__ import annotations
@@ -57,16 +63,37 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def cap_document_frequency(sh: DataFrame, max_df: int | None,
+                           key_col: str = "sh") -> DataFrame:
+    """Drop keys whose document frequency exceeds ``max_df`` (the hot-shingle
+    guard).  One linear groupBy over the exploded frame, then an anti-join
+    against the (tiny) hot-key set — the hot set is by construction at most
+    corpus_shingles / max_df keys, so Spark broadcasts it.  ``None`` = off."""
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy(key_col).agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df).select(key_col)
+    )
+    return sh.join(hot, key_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
-    text_col: str = "text", n: int = 3,
+    text_col: str = "text", n: int = 3, max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram-shingle Jaccard >= threshold.
 
     Relational formulation (no doc x doc cross join): explode distinct
     shingles, self-join on the shingle, count shared, Jaccard from
-    inclusion-exclusion.  Returns (doc_a, doc_b, jaccard)."""
-    sh = _doc_shingles(df, id_col, text_col, n)
+    inclusion-exclusion.  Returns (doc_a, doc_b, jaccard).
+
+    ``max_df`` caps per-shingle document frequency BEFORE the self-join
+    (see module docstring); when set, Jaccard is computed over the
+    *informative* shingle sets (sizes and intersections both exclude capped
+    shingles), so a pair sharing only boilerplate scores 0 instead of
+    detonating the join."""
+    sh = cap_document_frequency(_doc_shingles(df, id_col, text_col, n), max_df)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,11 +129,20 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
     text_col: str = "text", num_hashes: int = MINHASH_HASHES,
-    bands: int = MINHASH_BANDS, n: int = 3,
+    bands: int = MINHASH_BANDS, n: int = 3, max_df: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate pairs collide on at least one band
     (rows-per-band consecutive minhashes equal), then verified with exact
-    shingle Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard)."""
+    shingle Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard).
+
+    ``max_df`` caps shingle document frequency in the verification join
+    (the hot-shingle guard — see module docstring; signatures are still
+    computed over the full shingle set, so candidate recall is unchanged).
+    ``max_band_df`` caps BAND-key frequency in the candidate join: a band
+    key shared by d docs emits d^2 candidates, which at boilerplate scale
+    is the same quadratic corner; such mega-collision groups are exact or
+    near-exact duplicates that ``exact_dedup`` already collapses."""
     rows = num_hashes // bands
     # localCheckpoint: the signature (12 md5 array scans per doc) would
     # otherwise be recomputed once per band branch and once per join side —
@@ -119,7 +155,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    band_rows = sig.select("doc", F.explode(band_keys).alias("band_key"))
+    band_rows = cap_document_frequency(
+        sig.select("doc", F.explode(band_keys).alias("band_key")),
+        max_band_df, key_col="band_key",
+    )
     x = band_rows.alias("x")
     y = band_rows.alias("y")
     cand = (
@@ -130,7 +169,9 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to the candidate pairs (never
     # re-derive all overlapping pairs — that defeats the point of LSH);
     # checkpointed because it feeds both sides of the pair join:
-    sh = _doc_shingles(df, id_col, text_col, n).localCheckpoint()
+    sh = cap_document_frequency(
+        _doc_shingles(df, id_col, text_col, n), max_df
+    ).localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("b_doc"), F.col("sh").alias("sh_b"))
