@@ -59,7 +59,10 @@ def main():
     probes = [memcpy_probe()]
     t_start = time.time()
     for i in range(reps):
-        for name in ("r2", "head"):
+        # alternate leg order per rep: monotone host drift WITHIN a rep would
+        # otherwise bias whichever leg always ran second
+        order = ("r2", "head") if i % 2 == 0 else ("head", "r2")
+        for name in order:
             rec = run_leg(LEGS[name])
             runs[name].append(rec)
             probes.append(memcpy_probe())

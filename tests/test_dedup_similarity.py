@@ -251,6 +251,28 @@ def test_ivf_partitions_every_vector_once(spark):
     assert exact == full
 
 
+def test_ivf_adaptive_cells(spark):
+    """adaptive_n_cells ~ isqrt(n) clamped, and n_cells=None routes through
+    it: identical results to passing the formula's value explicitly."""
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        adaptive_n_cells,
+        ivf_topk,
+    )
+
+    assert adaptive_n_cells(1) == 4          # clamp low
+    assert adaptive_n_cells(500) == 22       # isqrt
+    assert adaptive_n_cells(5000) == 70
+    assert adaptive_n_cells(10**10) == 65536  # clamp high
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = emb.count()
+    auto = sorted(map(tuple, ivf_topk(emb, [0, 1, 2], k=3, n_cells=None, nprobe=2).collect()))
+    explicit = sorted(map(tuple, ivf_topk(
+        emb, [0, 1, 2], k=3, n_cells=adaptive_n_cells(n), nprobe=2).collect()))
+    assert auto == explicit
+
+
 def test_ivf_probe_prunes_candidates(spark):
     """nprobe < n_cells searches a subset: results are a (possibly
     approximate) top-k drawn only from probed cells, every query still
