@@ -232,32 +232,34 @@ def run_csr(spark, in_dir: str, out_dir: str, lang: str, kb=None, aliases=None,
     driver never sees a link row, so the write scales with executor count,
     not driver memory.  Files with no linked frames are copied through
     verbatim (same as the reference, which rewrites every input file).
-    Paths must be visible from executors (shared FS — the reference's
-    deployment assumption too); an object-store deployment would swap the
-    ``open()`` calls for the Hadoop FileSystem API.
+    Every path operation goes through sources.fs (scheme-dispatched;
+    default = the executor-visible shared FS the reference assumes), so an
+    object-store deployment registers its scheme once — the sink is
+    unchanged.
 
     ``distributed=False`` keeps the old driver-side loop for tiny inputs
     (saves the shuffle + task overhead when there are a handful of files).
     """
-    import os
-
     from ..sources.csr_json import append_xrefs_to_csr, read_csr_dir
+    from ..sources.fs import get_filesystem
 
     if kb is None:
         from ..fixtures.generator import kb_dfs
 
         kb, aliases = kb_dfs(spark)
+    in_fs = get_filesystem(in_dir)    # resolved on the driver; pickled into
+    out_fs = get_filesystem(out_dir)  # the foreachPartition closure below
     entities, sentences, clusters = read_csr_dir(spark, in_dir)
     linked = link_csr(entities, sentences, clusters, kb, aliases, lang)
-    fnames = sorted(f for f in os.listdir(in_dir) if f.endswith(".csr.json"))
-    os.makedirs(out_dir, exist_ok=True)
+    fnames = sorted(f for f in in_fs.listdir(in_dir) if f.endswith(".csr.json"))
+    out_fs.makedirs(out_dir)
 
     if not distributed:
         by_doc = xref_records(linked)
         for fname in fnames:
             append_xrefs_to_csr(
-                os.path.join(in_dir, fname), os.path.join(out_dir, fname),
-                by_doc.get(fname, {}),
+                in_fs.join(in_dir, fname), out_fs.join(out_dir, fname),
+                by_doc.get(fname, {}), in_fs=in_fs, out_fs=out_fs,
             )
         return len(fnames)
 
@@ -268,14 +270,12 @@ def run_csr(spark, in_dir: str, out_dir: str, lang: str, kb=None, aliases=None,
     work = all_docs.join(per_doc, "doc", "left")
 
     def write_partition(rows):
-        import os as _os
-
         for row in rows:
             by_frame = _records_from_rows(row["xrefs"] or [])
             append_xrefs_to_csr(
-                _os.path.join(in_dir, row["doc"]),
-                _os.path.join(out_dir, row["doc"]),
-                by_frame,
+                in_fs.join(in_dir, row["doc"]),
+                out_fs.join(out_dir, row["doc"]),
+                by_frame, in_fs=in_fs, out_fs=out_fs,
             )
 
     work.foreachPartition(write_partition)

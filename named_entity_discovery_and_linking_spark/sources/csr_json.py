@@ -100,13 +100,22 @@ def read_csr_dir(spark, in_dir: str):
     )
 
 
-def append_xrefs_to_csr(in_path: str, out_path: str, xrefs_by_frame: dict) -> None:
+def append_xrefs_to_csr(in_path: str, out_path: str, xrefs_by_frame: dict,
+                        in_fs=None, out_fs=None) -> None:
     """SNK3 (linking.py:557-574, 699-700): rewrite one CSR file with xref
     db_reference records appended to each linked entity frame's interp;
     prior xianyang xrefs stripped (F8, linking.py:560-563); skipped when a
     refkb xref from another component exists.  utf-8, sorted keys, indent 1
-    — byte-format parity with the reference's writer."""
-    with open(in_path, encoding="utf-8") as f:
+    — byte-format parity with the reference's writer.
+
+    ``in_fs``/``out_fs`` are sources.fs filesystem objects (default: the
+    local shared FS) so the distributed sink works against any registered
+    scheme."""
+    from .fs import LocalFS
+
+    in_fs = in_fs or LocalFS()
+    out_fs = out_fs or LocalFS()
+    with in_fs.open(in_path, encoding="utf-8") as f:
         doc = json.load(f)
     for frame in doc.get("frames", []):
         if frame.get("@type") != "entity_evidence":
@@ -127,7 +136,7 @@ def append_xrefs_to_csr(in_path: str, out_path: str, xrefs_by_frame: dict) -> No
             interp["xref"] = xref
             continue
         interp["xref"] = xref + recs
-    with open(out_path, "w", encoding="utf-8") as f:
+    with out_fs.open(out_path, "w", encoding="utf-8") as f:
         f.write(json.dumps(doc, indent=1, sort_keys=True, ensure_ascii=False))
 
 

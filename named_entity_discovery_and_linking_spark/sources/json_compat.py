@@ -70,20 +70,21 @@ def write_mention_json_dir(mentions: DataFrame, out_dir: str) -> None:
     """SNK1 as a distributed file sink: one ``{url}.json`` per document
     (the reference writes ``out_fname = file + '.json'``, main.py:284-288),
     written inside ``foreachPartition`` so the driver never holds a doc's
-    JSON.  Paths must be executor-visible (shared FS — the reference's
-    deployment assumption too)."""
-    import os
+    JSON.  Paths go through sources.fs (scheme-dispatched): the default is
+    the executor-visible shared FS the reference assumes; an object-store
+    deployment registers its scheme once and this sink works unchanged."""
+    from .fs import get_filesystem
 
-    os.makedirs(out_dir, exist_ok=True)
+    fs = get_filesystem(out_dir)  # resolved on the driver, pickled into the closure
+    fs.makedirs(out_dir)
     doc_json = mentions_to_doc_json(mentions)
 
     def write_partition(rows):
-        import os as _os
         import re as _re
 
         for row in rows:
             safe = _re.sub(r"[^A-Za-z0-9._-]", "_", row["url"])
-            with open(_os.path.join(out_dir, safe + ".json"), "w", encoding="utf-8") as f:
+            with fs.open(fs.join(out_dir, safe + ".json"), "w", encoding="utf-8") as f:
                 f.write(row["doc_json"])
 
     doc_json.foreachPartition(write_partition)
