@@ -41,6 +41,13 @@ def main(argv=None):
                     help="run the KG build as a stream over --pages (file "
                          "source, availableNow): exactly-once batch_id "
                          "partitions under <out>/triples")
+    ap.add_argument("--reconcile-every", dest="reconcile_every", type=int,
+                    default=None, metavar="N",
+                    help="with --stream: every N micro-batches, recompute "
+                         "the global aida:sameAs closure across ALL batches "
+                         "and rewrite affected partitions (cross-batch "
+                         "canonicalization; per-batch mentions/links persist "
+                         "under <out>/_stream_state)")
     ap.add_argument("--query", nargs=2, action="append", metavar=("NAME", "TYPE"),
                     help="one-shot linker probe (repeatable) — the --query REPL "
                          "of linking.py:753-759; prints every ranked candidate")
@@ -144,6 +151,9 @@ def main(argv=None):
         stream_triples(
             spark, args.pages, os.path.join(args.out, "triples"),
             os.path.join(args.out, "_stream_checkpoint"), kb, aliases,
+            state_dir=(os.path.join(args.out, "_stream_state")
+                       if args.reconcile_every else None),
+            reconcile_every=args.reconcile_every,
         )
         n = spark.read.parquet(os.path.join(args.out, "triples")).count()
         print(f"done (stream): {n} triples -> {args.out}")

@@ -442,10 +442,14 @@ def test_stream_cli_mode(spark, tmp_path):
     out_dir = tmp_path / "out"
     r = subprocess.run(
         [sys.executable, "-m", "named_entity_discovery_and_linking_spark",
-         "--stream", "--pages", in_dir, "--out", str(out_dir)],
+         "--stream", "--pages", in_dir, "--out", str(out_dir),
+         "--reconcile-every", "1"],
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr[-2000:]
     got = spark.read.parquet(str(out_dir / "triples"))
     assert got.count() > 0
     assert "batch_id" in got.columns
+    # --reconcile-every persisted the per-batch state and ran the global pass
+    assert (out_dir / "_stream_state" / "mentions").exists()
+    assert got.filter("pred = 'aida:sameAs'").count() > 0
