@@ -35,22 +35,26 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     Plain propagation alone needs ~diameter rounds (a chain of k contracted
     group-roots takes k rounds); the jump half-step doubles the resolved
     prefix per round, giving true O(log n) convergence.  Rounds are
-    localCheckpoint()ed (plan truncation — the iterative-join pitfall in
-    SURVEY.md §7) and convergence is checked on the already-materialized
-    frame each round (a cheap scan).  If the round cap is hit without
-    convergence we RAISE rather than silently return split components.
+    localCheckpoint()ed LAZILY (plan truncation — the iterative-join pitfall
+    in SURVEY.md §7) and materialized by the full-scan convergence count, so
+    each round costs ONE Spark job, not two (the eager-checkpoint + count
+    pair was half of the flagship's fixed per-job driver latency; the count
+    must NOT be limit(1) — a partial action would only materialize the
+    partitions it touched and the next round would recompute the rest from
+    untruncated lineage).  If the round cap is hit without convergence we
+    RAISE rather than silently return split components.
     """
     sym = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("mid"))
         .union(sym.select(F.col("dst").alias("mid")))
         .distinct()
         .withColumn("label", F.col("mid"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _rnd in range(max_rounds):
         neighbor_min = (
@@ -77,10 +81,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
                 F.least(F.col("p_label"), F.coalesce(F.col("pp_label"), F.col("p_label"))).alias("new_label"),
                 "old_label",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("mid", F.col("new_label").alias("label"))
-        if new_labels.filter(F.col("new_label") != F.col("old_label")).limit(1).count() == 0:
+        # full count (not limit(1)): the action that materializes the lazy
+        # checkpoint must touch EVERY partition — see docstring
+        if new_labels.filter(F.col("new_label") != F.col("old_label")).count() == 0:
             return labels.select("mid", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
