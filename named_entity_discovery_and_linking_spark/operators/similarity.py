@@ -119,6 +119,39 @@ def lsh_bucketed_nn(
     return best.select("vec_id", F.col("b.nn_id").alias("nn_id"), F.col("b.cos").alias("cos"))
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, nbits: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", target_bucket: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the training-data-dedup
+    brief's fifth dedup mode, alongside exact/Jaccard/MinHash/SimHash):
+    every pair with cosine >= threshold, candidates restricted to sign-LSH
+    bucket collisions (equi-join on bucket — never corpus x corpus), exact
+    cosine verified inside the bucket.  Returns (id_a, id_b, cos) with
+    id_a < id_b.  ``nbits=None`` -> adaptive width (adaptive_nbits).
+
+    Recall caveat, documented not hidden: a genuine near-dup pair whose
+    vectors differ in SIGN on one of the first nbits dimensions lands in
+    different buckets.  At dedup thresholds (cos >= 0.9) a sign flip needs
+    a near-zero component, so single-table recall is high; multiple rotated
+    tables buy the rest at k x the candidate join."""
+    if nbits is None:
+        nbits = adaptive_nbits(emb.count(), target_bucket)
+    b = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        sign_bucket(vec_col, nbits).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid")))
+        .select(
+            F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"),
+            F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ------------------------------------------------------------------ IVF
 
 def adaptive_n_cells(n: int, min_cells: int = 4, max_cells: int = 65536) -> int:

@@ -906,6 +906,43 @@ def q_ann_lsh_adaptive(spark, sf_dir):
     return S.lsh_bucketed_nn(emb, nbits=None)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (similarity.embedding_near_dup_pairs):
+    sign-LSH bucket candidates, exact cosine verify, adaptive width.
+    Threshold 0.4 here because the synthetic fixture vectors are near-random
+    (max in-bucket cosine ~0.51 — no planted duplicates); real corpora use
+    0.9+.  The operator is identical either way; the oracle value-checks
+    the bucket/verify/threshold path."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=None)
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH p AS (
+  SELECT CAST(LEAST(16, GREATEST(4, CASE WHEN cnt > 64
+    THEN CEIL(LOG2(cnt / 64.0)) ELSE 4 END)) AS INT) AS nbits
+  FROM (SELECT count(*) AS cnt FROM embeddings)
+),
+b AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
+    substring({bucket16}, 1, (SELECT nbits FROM p)) AS bucket
+  FROM embeddings
+)
+SELECT x.vid AS id_a, y.vid AS id_b,
+       round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
+WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4
+""".format(
+    bucket16="("
+    + " || ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+    )
+    + ")"
+)
+
+
 _ANN_LSH_ADAPTIVE_SQL = """
 WITH p AS (
   SELECT CAST(LEAST(16, GREATEST(4, CASE WHEN cnt > 64
@@ -1428,6 +1465,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
+    "embedding_near_dups": q_embedding_near_dups,
     "ann_ivf": q_ann_ivf,
     "frame_sample": q_frame_sample,
     "nist_key": q_nist_key,
@@ -1535,6 +1573,7 @@ ORACLES = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
+    "embedding_near_dups": _EMB_NEAR_DUP_SQL,
     "ann_ivf": _ANN_IVF_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "nist_key": _nist_key_sql(),

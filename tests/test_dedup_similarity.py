@@ -251,6 +251,34 @@ def test_ivf_partitions_every_vector_once(spark):
     assert exact == full
 
 
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-dups at a realistic threshold: a pair of almost-parallel
+    vectors is found, orthogonal/antipodal vectors are not, candidates stay
+    within sign buckets, ids come back canonically ordered."""
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.5, 0.2, 0.1]),
+        (1, [0.99, 0.52, 0.19, 0.11]),   # near-dup of 0
+        (2, [0.0, 0.0, 1.0, 0.0]),       # same all-positive-signs bucket, far
+        (3, [-1.0, -0.5, -0.2, -0.1]),   # antipode: different bucket entirely
+        (4, [1.0, 0.5, 0.2, 0.100001]),  # second near-dup of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in embedding_near_dup_pairs(emb, threshold=0.9, nbits=4).collect()}
+    assert set(got) == {(0, 1), (0, 4), (1, 4)}
+    assert all(c >= 0.9 for c in got.values())
+    assert all(a < b for a, b in got)
+    # threshold filters inside the bucket: 2 shares the bucket but never pairs
+    loose = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(emb, threshold=-1.0, nbits=4).collect()}
+    assert (0, 2) in loose and (2, 4) in loose  # candidates existed...
+    assert not any(3 in p for p in loose)       # ...but 3's bucket is its own
+
+
 def test_ivf_adaptive_cells(spark):
     """adaptive_n_cells ~ isqrt(n) clamped, and n_cells=None routes through
     it: identical results to passing the formula's value explicitly."""
