@@ -204,6 +204,47 @@ def test_band_df_cap_bounds_minhash_candidates(spark):
     assert groups[0] == 30
 
 
+def test_jaccard_cap_matches_python_model(spark):
+    """Model-based check on seeded random corpora: the Spark capped-Jaccard
+    operator must agree pair-for-pair with a transparent pure-Python model
+    (shingle sets -> df census -> cap -> inclusion-exclusion)."""
+    import random
+    from collections import Counter
+
+    MAXDF, THR = 5, 0.2
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+                for i in range(40)]
+
+        def shingle_set(t):
+            ts = t.split(" ")
+            if len(ts) >= 3:
+                return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+            return {" ".join(ts)}
+
+        sh = {i: shingle_set(t) for i, t in docs}
+        df_census = Counter(s for ss in sh.values() for s in ss)
+        capped = {i: {s for s in ss if df_census[s] <= MAXDF} for i, ss in sh.items()}
+        want = {}
+        ids = sorted(capped)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(capped[a] & capped[b])
+                if inter:
+                    j = inter / (len(capped[a]) + len(capped[b]) - inter)
+                    if j >= THR:
+                        want[(a, b)] = j
+        sdf = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(sdf, THR, max_df=MAXDF).collect()}
+        assert set(got) == set(want), seed
+        for k in want:  # tolerance: Spark HALF_UP vs python HALF_EVEN at 6dp
+            assert abs(got[k] - want[k]) <= 1e-6, (seed, k)
+
+
 def test_minhash_verify_max_df_matches_jaccard_cap(spark):
     """max_df on the LSH verify join computes the same capped Jaccard as
     ngram_jaccard_pairs(max_df=...) — the two operators stay consistent."""
