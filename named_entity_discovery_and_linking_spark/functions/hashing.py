@@ -50,10 +50,15 @@ def minhash_signature(tokens_col: Column | str, num_hashes: int) -> Column:
     expression: transform + array_min per hash function.
     """
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+
+    def hasher(seed: int):
+        # closure factory — a `lambda t, i=i` two-parameter lambda would make
+        # transform() pass the array index as `i`, shadowing the seed with a
+        # Column whose repr leaks into the literal (see dedup.minhash_signatures)
+        return lambda t: portable_hash(F.concat(F.lit(f"{seed}:"), t))
+
     sig = [
-        F.array_min(
-            F.transform(c, lambda t, i=i: portable_hash(F.concat(F.lit(f"{i}:"), t)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(c, hasher(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return F.array(*sig)

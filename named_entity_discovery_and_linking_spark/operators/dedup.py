@@ -94,6 +94,15 @@ def ngram_jaccard_pairs(
     shingles), so a pair sharing only boilerplate scores 0 instead of
     detonating the join."""
     sh = cap_document_frequency(_doc_shingles(df, id_col, text_col, n), max_df)
+    if max_df is not None:
+        # the shingle frame fans into sizes + both self-join sides; without
+        # materialization the df-census groupBy (a full shuffle) re-runs
+        # once per consumer (4x in the executed plan).  Parquet spill, not
+        # localCheckpoint: the frame is data-scale (docs x shingles) and
+        # object caching is the measured GC pathology (session.materialize)
+        from ..session import materialize
+
+        sh = materialize(sh, "capped-shingles")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,10 +127,20 @@ def minhash_signatures(
     """(doc, mh_0..mh_{k-1}) MinHash signature columns over n-gram shingles."""
     sh = F.array_distinct(shingles_col(text_col, n))
     out = df.select(F.col(id_col).alias("doc"), sh.alias("shingles"))
+
+    def hasher(seed: int):
+        # closure FACTORY, not `lambda t, i=i`: a two-parameter lambda makes
+        # pyspark's transform() pass the ARRAY INDEX as the second argument,
+        # silently shadowing the seed — the f-string then embeds the index
+        # Column's auto-generated lambda-variable repr, making the "seeds"
+        # garbage AND nondeterministic across invocations (caught by a
+        # flaky band-collision test; the oracle had only passed because
+        # exact-Jaccard verification masked the candidate differences)
+        return lambda t: seeded_hash(t, seed)
+
     for i in range(num_hashes):
         out = out.withColumn(
-            f"mh_{i}",
-            F.array_min(F.transform(F.col("shingles"), lambda t, i=i: seeded_hash(t, i))),
+            f"mh_{i}", F.array_min(F.transform(F.col("shingles"), hasher(i)))
         )
     return out.drop("shingles")
 
