@@ -160,8 +160,14 @@ def minhash_lsh_pairs(
     computed over the full shingle set, so candidate recall is unchanged).
     ``max_band_df`` caps BAND-key frequency in the candidate join: a band
     key shared by d docs emits d^2 candidates, which at boilerplate scale
-    is the same quadratic corner; such mega-collision groups are exact or
-    near-exact duplicates that ``exact_dedup`` already collapses."""
+    is the same quadratic corner.  This cap IS a recall trade, not a free
+    lunch: a pair whose only colliding bands are hot loses its candidacy
+    even if its true Jaccard clears the threshold.  Byte-identical
+    mega-groups are already collapsed by ``exact_dedup``, but a TEMPLATE
+    FAMILY (same boilerplate, differing bodies, pairwise Jaccard near the
+    threshold) is not — for such corpora either run ``exact_dedup`` first
+    and size ``max_band_df`` above the expected family size, or prefer
+    ``max_df`` (which reweights rather than drops candidates)."""
     rows = num_hashes // bands
     # localCheckpoint: the signature (12 md5 array scans per doc) would
     # otherwise be recomputed once per band branch and once per join side —

@@ -919,41 +919,37 @@ def q_embedding_near_dups(spark, sf_dir):
     return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=None)
 
 
-_EMB_NEAR_DUP_SQL = """
-WITH p AS (
+# shared adaptive-width CTEs (ONE definition — the sqrt/log2 width formulas
+# must not be able to drift between the near-dup and adaptive-NN oracles)
+_BUCKET16_EXPR = "(" + " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+) + ")"
+
+_ADAPTIVE_BUCKET_CTES = f"""
+p AS (
   SELECT CAST(LEAST(16, GREATEST(4, CASE WHEN cnt > 64
     THEN CEIL(LOG2(cnt / 64.0)) ELSE 4 END)) AS INT) AS nbits
   FROM (SELECT count(*) AS cnt FROM embeddings)
 ),
 b AS (
   SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
-    substring({bucket16}, 1, (SELECT nbits FROM p)) AS bucket
+    substring({_BUCKET16_EXPR}, 1, (SELECT nbits FROM p)) AS bucket
   FROM embeddings
 )
+""".strip()
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH {_ADAPTIVE_BUCKET_CTES}
 SELECT x.vid AS id_a, y.vid AS id_b,
        round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
 FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
 WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4
-""".format(
-    bucket16="("
-    + " || ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(16)
-    )
-    + ")"
-)
+"""
 
 
-_ANN_LSH_ADAPTIVE_SQL = """
-WITH p AS (
-  SELECT CAST(LEAST(16, GREATEST(4, CASE WHEN cnt > 64
-    THEN CEIL(LOG2(cnt / 64.0)) ELSE 4 END)) AS INT) AS nbits
-  FROM (SELECT count(*) AS cnt FROM embeddings)
-),
-b AS (
-  SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
-    substring({bucket16}, 1, (SELECT nbits FROM p)) AS bucket
-  FROM embeddings
-),
+_ANN_LSH_ADAPTIVE_SQL = f"""
+WITH {_ADAPTIVE_BUCKET_CTES},
 pairs AS (
   SELECT x.vid AS vec_id, y.vid AS nn_id,
          round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
@@ -961,13 +957,7 @@ pairs AS (
 ),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rnk FROM pairs)
 SELECT vec_id, nn_id, cos FROM ranked WHERE rnk = 1
-""".format(
-    bucket16="("
-    + " || ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(16)
-    )
-    + ")"
-)
+"""
 
 
 # ---------------------------------------------------- rows-only KG stages
@@ -1070,15 +1060,18 @@ SELECT doc, CAST({recombine} AS BIGINT) AS simhash FROM sums
 """
 
 
-_SHINGLES_SQL = """
-shing AS (
+# ONE canonical shingle derivation, composed (not copy-pasted) into every
+# jaccard-family oracle so a future formula fix cannot drift between them
+_SHINGLE_INNER_SQL = """
   SELECT doc_id AS doc, sh FROM (
     SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
       THEN list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
       ELSE [array_to_string(ts, ' ')] END)) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
   )
-),
+""".strip()
+
+_JAC_PIPELINE_SQL = """
 sizes AS (SELECT doc, count(*) AS n_sh FROM shing GROUP BY doc),
 shared AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
@@ -1090,40 +1083,32 @@ jac AS (
          round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
   FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
 )
-"""
+""".strip()
 
+
+def _shingle_ctes(max_df: int | None = None) -> str:
+    """shing CTE (plus the hot-key anti-join when max_df is set — mirroring
+    dedup.cap_document_frequency exactly) followed by sizes/shared/jac."""
+    if max_df is None:
+        head = f"shing AS (\n{_SHINGLE_INNER_SQL}\n),"
+    else:
+        head = (
+            f"shing0 AS (\n{_SHINGLE_INNER_SQL}\n),\n"
+            f"hot AS (SELECT sh FROM shing0 GROUP BY sh HAVING count(*) > {max_df}),\n"
+            "shing AS (SELECT doc, sh FROM shing0 ANTI JOIN hot USING (sh)),"
+        )
+    return head + "\n" + _JAC_PIPELINE_SQL
+
+
+_SHINGLES_SQL = _shingle_ctes()  # uncapped form, shared with _minhash_sql
 
 _JACCARD_SQL = f"""
-WITH {_SHINGLES_SQL.strip()}
+WITH {_SHINGLES_SQL}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
 """
 
-
-# the capped variant re-derives the shingle CTE as shing0, drops keys with
-# df > max_df (hot-shingle guard), then reuses the same sizes/shared/jac
-# pipeline — mirroring dedup.cap_document_frequency's anti-join exactly
-_JACCARD_CAPPED_SQL = """
-WITH shing0 AS (
-  SELECT doc_id AS doc, sh FROM (
-    SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
-      THEN list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
-      ELSE [array_to_string(ts, ' ')] END)) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
-  )
-),
-hot AS (SELECT sh FROM shing0 GROUP BY sh HAVING count(*) > 4),
-shing AS (SELECT doc, sh FROM shing0 ANTI JOIN hot USING (sh)),
-sizes AS (SELECT doc, count(*) AS n_sh FROM shing GROUP BY doc),
-shared AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
-  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc < b.doc
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT doc_a, doc_b,
-         round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-  FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
-)
+_JACCARD_CAPPED_SQL = f"""
+WITH {_shingle_ctes(max_df=4)}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3
 """
 

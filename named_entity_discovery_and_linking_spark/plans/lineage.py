@@ -68,10 +68,15 @@ def _acquire_claim(lineage_dir: str, stage: str, run_id: str,
     NFSv3+ where the reference's deployments live).  A second driver polls
     until the claim is released, then re-reads the lineage table, so the
     buckets the first driver finished are no longer pending: deterministic
-    single-computation per bucket.  Claims older than ``ttl`` are presumed
-    to belong to a crashed driver and are broken (the bucket outputs are
-    idempotent dynamic-partition overwrites, so a broken claim can at worst
-    recompute — never corrupt)."""
+    single-computation per bucket.  Claims with an mtime older than ``ttl``
+    are presumed to belong to a crashed driver and are broken (the bucket
+    outputs are idempotent dynamic-partition overwrites, so a broken claim
+    can at worst recompute — never corrupt).  A LIVE driver's stage may run
+    longer than ttl, so the holder heartbeats the claim (mtime touch every
+    ttl/4, daemon thread — see _claim_heartbeat) and release verifies the
+    stored run_id first: if the claim was broken and re-acquired by another
+    driver despite the heartbeat, the original holder must NOT delete the
+    usurper's claim (that would cascade a third driver in)."""
     os.makedirs(lineage_dir, exist_ok=True)
     claim = os.path.join(lineage_dir, f"_claim_{stage}")
     deadline = time.time() + timeout
@@ -100,6 +105,42 @@ def _acquire_claim(lineage_dir: str, stage: str, run_id: str,
             time.sleep(poll)
 
 
+def _claim_heartbeat(claim: str, run_id: str, ttl: float):
+    """Daemon thread keeping a live claim's mtime fresh (every ttl/4) so a
+    long-running stage is not mistaken for a crashed driver.  Stops touching
+    the moment the file's content is no longer our run_id (broken + re-
+    acquired) or the file is gone.  Returns (thread, stop_event)."""
+    import threading
+
+    stop = threading.Event()
+
+    def beat():
+        while not stop.wait(min(max(ttl / 4.0, 1.0), 300.0)):
+            try:
+                with open(claim) as f:
+                    if f.read() != run_id:
+                        return  # usurped — never touch someone else's claim
+                now = time.time()
+                os.utime(claim, (now, now))
+            except FileNotFoundError:
+                return
+
+    t = threading.Thread(target=beat, daemon=True, name=f"claim-heartbeat-{run_id}")
+    t.start()
+    return t, stop
+
+
+def _release_claim(claim: str, run_id: str) -> None:
+    """Delete the claim ONLY if we still own it (content == run_id)."""
+    try:
+        with open(claim) as f:
+            if f.read() != run_id:
+                return
+        os.remove(claim)
+    except FileNotFoundError:
+        pass
+
+
 def run_stage(
     spark: SparkSession,
     pages: DataFrame,
@@ -126,10 +167,11 @@ def run_stage(
     written, so the transform runs once and nothing lands in the JVM object
     store (the GC pathology session.materialize was built to avoid).
     """
-    run_id = run_id or f"run-{int(time.time())}"
+    run_id = run_id or f"run-{int(time.time())}-{os.getpid()}"
     bucketed = bucketize(pages, "url", n_buckets)
     out_path = os.path.join(out_dir, stage)
     claim = _acquire_claim(lineage_dir, stage, run_id, claim_ttl, claim_timeout)
+    hb_thread, hb_stop = _claim_heartbeat(claim, run_id, claim_ttl)
     try:
         # done-set read AFTER the claim: a concurrent driver that held the
         # claim first may have completed buckets while we polled
@@ -156,8 +198,7 @@ def run_stage(
                 counts.setdefault(b, 0)
             mark_done(spark, lineage_dir, stage, counts, run_id)
     finally:
-        try:
-            os.remove(claim)
-        except FileNotFoundError:
-            pass
+        hb_stop.set()
+        hb_thread.join(timeout=5.0)
+        _release_claim(claim, run_id)
     return spark.read.parquet(out_path) if os.path.exists(out_path) else bucketed.limit(0)

@@ -91,7 +91,9 @@ class PrefixFS:
         prefix = f"{self.scheme}://"
         if not path.startswith(prefix):
             raise ValueError(f"{path!r} is not a {prefix} path")
-        return os.path.join(self.root, path[len(prefix):])
+        # lstrip: an absolute remainder ('scheme:///out') would make
+        # os.path.join DISCARD root and escape the store silently
+        return os.path.join(self.root, path[len(prefix):].lstrip("/"))
 
     def open(self, path: str, mode: str = "r", encoding: str | None = None):
         local = self._translate(path)

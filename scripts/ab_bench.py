@@ -47,7 +47,16 @@ def run_leg(tree: str) -> dict:
         capture_output=True, text=True, timeout=1200,
     )
     wall = round(time.time() - t0, 1)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench leg {tree!r} failed (rc={out.returncode}): {out.stderr[-2000:]}"
+        )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench leg {tree!r} printed no JSON line; stderr: {out.stderr[-2000:]}"
+        )
+    line = lines[-1]
     rec = json.loads(line)
     rec["_wall_incl_startup"] = wall
     return rec

@@ -266,13 +266,15 @@ def test_stream_triples_batch_parity_and_idempotent_restart(spark, tmp_path):
     m = discover_mentions(pages).localCheckpoint()
     links = link_mentions(m, kb, al, promote=False).localCheckpoint()
     want = build_graph(m, links)[0]
-    a = sorted(map(tuple, got.drop("batch_id").collect()))
+    # select in the batch schema's order: (batch_id, pred) are partition
+    # columns on disk, so the raw read appends them after the data columns
+    a = sorted(map(tuple, got.select(*want.columns).collect()))
     b = sorted(map(tuple, want.collect()))
     assert a == b
 
     # restart with nothing new: checkpoint prevents reprocessing
     stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180)
-    again = sorted(map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect()))
+    again = sorted(map(tuple, spark.read.parquet(out_dir).select(*want.columns).collect()))
     assert again == a
 
 
@@ -341,18 +343,95 @@ def test_stream_reconcile_matches_batch(spark, tmp_path):
 
     m = discover_mentions(all_pages).localCheckpoint()
     links = link_mentions(m, kb, al, promote=False).localCheckpoint()
-    want = sorted(map(tuple, build_graph(m, links)[0].collect()))
+    want_df = build_graph(m, links)[0]
+    want = sorted(map(tuple, want_df.collect()))
+    cols = want_df.columns
 
-    before = sorted(map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect()))
+    def streamed():
+        return sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect()))
+
+    before = streamed()
     assert before != want  # an entity spans batches -> batch-local clustering diverges
 
     reconcile_triples(spark, out_dir, state)
-    after = sorted(map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect()))
-    assert after == want
+    assert streamed() == want
 
     reconcile_triples(spark, out_dir, state)  # idempotent re-run
-    again = sorted(map(tuple, spark.read.parquet(out_dir).drop("batch_id").collect()))
-    assert again == want
+    assert streamed() == want
+
+
+def test_stream_final_reconcile_runs_automatically(spark, tmp_path):
+    """Batches past the last reconcile_every multiple must not end the run
+    unreconciled: with a cadence the stream never hits (reconcile_every=99),
+    the post-drain reconcile still makes streamed == batch."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.operators.linking import link_mentions
+    from named_entity_discovery_and_linking_spark.plans.graph import build_graph
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stream_triples,
+    )
+
+    all_pages = pages_df(spark, n_pages=12)
+    first = all_pages.filter("pmod(xxhash64(url), 2) = 0").coalesce(1)
+    second = all_pages.filter("pmod(xxhash64(url), 2) = 1").coalesce(1)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    kb, al = kb_dfs(spark)
+
+    first.write.parquet(in_dir)
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180,
+                   state_dir=state, reconcile_every=99)
+    second.write.mode("append").parquet(in_dir)
+    stream_triples(spark, in_dir, out_dir, ckpt, kb, al, timeout_sec=180,
+                   state_dir=state, reconcile_every=99)
+
+    m = discover_mentions(all_pages).localCheckpoint()
+    links = link_mentions(m, kb, al, promote=False).localCheckpoint()
+    want_df = build_graph(m, links)[0]
+    want = sorted(map(tuple, want_df.collect()))
+    got = sorted(map(tuple,
+                     spark.read.parquet(out_dir).select(*want_df.columns).collect()))
+    assert got == want
+
+
+def test_claim_release_ownership_and_heartbeat(tmp_path):
+    """Release must not delete a claim we no longer own; the heartbeat keeps
+    a live claim fresh and stops the moment the claim is usurped."""
+    import time as _t
+
+    from named_entity_discovery_and_linking_spark.plans.lineage import (
+        _claim_heartbeat,
+        _release_claim,
+    )
+
+    claim = str(tmp_path / "_claim_s")
+    with open(claim, "w") as f:
+        f.write("other-run")
+    _release_claim(claim, "my-run")
+    assert os.path.exists(claim)      # not ours -> untouched
+    _release_claim(claim, "other-run")
+    assert not os.path.exists(claim)  # ours -> removed
+
+    with open(claim, "w") as f:
+        f.write("my-run")
+    old = _t.time() - 1000
+    os.utime(claim, (old, old))
+    t, stop = _claim_heartbeat(claim, "my-run", ttl=4.0)  # beat every 1 s
+    try:
+        _t.sleep(2.5)
+        assert _t.time() - os.stat(claim).st_mtime < 10  # heartbeat touched it
+        # usurp the claim: heartbeat must stop touching
+        with open(claim, "w") as f:
+            f.write("usurper")
+        _t.sleep(1.5)  # let any in-flight beat drain
+        os.utime(claim, (old, old))
+        _t.sleep(2.5)
+        assert _t.time() - os.stat(claim).st_mtime > 500  # left stale
+    finally:
+        stop.set()
+        t.join(timeout=5)
 
 
 def test_resumable_linking_matches_and_skips(spark, tmp_path):
