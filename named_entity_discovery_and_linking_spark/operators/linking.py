@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.editdist import dl_distance_udf
+
 TOP_K_CANDIDATES = 100  # linking.py:112
 TMPKB_PROMOTE_MIN = 5  # linking.py:473-475
 # The reference ASKS for dist up to min(5, len//5) (linking.py:320-322), but
@@ -51,23 +53,29 @@ FUZZY_BROADCAST_MAX_ALIASES = 200_000
 # ------------------------------------------------------------------ KB prep
 
 def clean_kb(kb: DataFrame) -> DataFrame:
-    """SRC6 (linking.py:28-43): drop duplicate eids (first wins — order is
+    """SRC6 (linking.py:28-43): drop GEO rows with country not in (RU, UA)
+    and empty wiki, THEN drop duplicate eids (first wins — order is
     undefined in a set-oriented engine, so 'first' = min source ordering via
     monotonically increasing row id is avoided; we keep an arbitrary-but-
-    deterministic row per eid by ordering on all columns); drop GEO rows with
-    country not in (RU, UA) and empty wiki."""
+    deterministic row per eid by ordering on all columns).
+
+    Order matters: the reference's loop skips a GEO-filtered row WITHOUT
+    claiming its eid (`if eid in eids` runs first, but `eids.add` only runs
+    after the GEO check), so a later non-GEO row with the same eid still
+    enters the KB.  Dedup-then-filter would let the filtered GEO row win the
+    dedup and then delete it — losing the entity entirely."""
     w = Window.partitionBy("eid").orderBy("src", "type", "name", "country", "feature", "wiki")
     return (
-        kb.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .filter(
+        kb.filter(
             ~(
                 (F.col("src") == "GEO")
                 & ~F.col("country").isin("RU", "UA")
                 & (F.col("wiki") == "")
             )
         )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -149,10 +157,12 @@ def deletion_variants(col: str, budget: str) -> "F.Column":
     (a column name or int literal, clamped by construction to 0..2 —
     MAX_FUZZY_DIST is 2, the effective Lucene budget).
 
-    Guarantee used by the fuzzy join: lev(q, a) <= d implies q and a share a
-    string reachable by <= d deletions from each side, so an EQUI-join on the
-    variant retrieves a superset of the true matches; one levenshtein per
-    joined pair verifies.  |variants| = 1 + L + L(L-1)/2 per token at d=2.
+    Guarantee used by the fuzzy join: dl(q, a) <= d (Damerau — each edit,
+    transpositions included, costs at most one deletion on each side)
+    implies q and a share a string reachable by <= d deletions from each
+    side, so an EQUI-join on the variant retrieves a superset of the true
+    matches; one Damerau distance per joined pair verifies (pinned by
+    test_properties::test_deletion_variant_guarantee_holds_for_damerau).  |variants| = 1 + L + L(L-1)/2 per token at d=2.
     """
     d0 = f"array({col})"
     d1 = _del1_sql(col)
@@ -176,7 +186,12 @@ def _nam_queries(mentions: DataFrame) -> DataFrame:
             "url", "mid",
             F.lower(F.col("mention")).alias("ent_name"),
             F.substring(F.col("type"), 8, 3).alias("ent_type"),  # X4
-            F.array_distinct(F.split(F.col("sent_text"), r"\s+")).alias("ctx_tokens"),
+            # array_remove "": str.split() in the reference never yields
+            # empty tokens, but F.split does on leading/trailing whitespace —
+            # an empty token could "intersect" an empty info and inflate IoU
+            F.array_remove(
+                F.array_distinct(F.split(F.col("sent_text"), r"\s+")), ""
+            ).alias("ctx_tokens"),
         )
         .withColumn("q_tokens", F.expr(r"array_distinct(filter(split(ent_name, '[^\\p{L}\\p{N}]+'), t -> t != ''))"))
         .withColumn("n_q", F.size("q_tokens"))
@@ -209,7 +224,8 @@ def generate_candidates(queries: DataFrame, alias_table: DataFrame, fuzzy_dist: 
         a_var = a_tok.withColumn("variant", F.explode(deletion_variants("a_tok", str(int(fuzzy_dist)))))
         joined = (
             q_var.join(F.broadcast(a_var), q_var.variant == a_var.variant)
-            .filter(F.levenshtein(F.col("q_tok"), F.col("a_tok")) <= fuzzy_dist)
+            # Damerau (transposition-aware) to match Lucene's FuzzyQuery
+            .filter(dl_distance_udf(F.col("q_tok"), F.col("a_tok")) <= fuzzy_dist)
         )
     cands = (
         joined.groupBy("mid", "n_q", "alias_id", "eid", "cand_name", "cname",
@@ -290,10 +306,21 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         "alias_id", F.col("cand_type").alias("a_type"), "n_tokens",
         F.explode(F.array_distinct("tokens")).alias("a_tok"),
     )
+    # F6 type-compat predicates (linking.py:151-159): a_gate over the token
+    # index's a_type (used only to pick the fuzzy winning dist — the
+    # reference stops at the first dist whose GATED set is non-empty), and
+    # a_gate_cand over _cap's rejoined cand_type.  Neither is applied to the
+    # EMITTED candidate set: retrieval is ungated and score_candidates owns
+    # the gate, as in the reference.
     a_gate = (
         (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("a_type").isin("GPE", "LOC"))
         | ((F.col("ent_type") == "ORG") & (F.col("a_type") == "ORG"))
         | ((F.col("ent_type") == "PER") & (F.col("a_type") == "PER"))
+    )
+    a_gate_cand = (
+        (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
+        | ((F.col("ent_type") == "ORG") & (F.col("cand_type") == "ORG"))
+        | ((F.col("ent_type") == "PER") & (F.col("cand_type") == "PER"))
     )
 
     def _cap(gated):
@@ -318,10 +345,14 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # Phase 1 — exact retrieval as a broadcast HASH join on the token (the
     # hot path; a nested-loop fuzzy join over all mentions costs
     # |q_tokens| x |alias_tokens| levenshteins — measured 368M at bench
-    # scale).  The F6 type gate rides the join condition so gated-out
-    # candidates never reach the shuffle.
+    # scale).  Retrieval is UNGATED, as in the reference: Lucene queries on
+    # name tokens only, retrieval capped at 100, and the F6 type gate runs
+    # AFTERWARDS in score_candidates (linking.py:112 then :151-159).  Gating
+    # inside the join would reorder cap-vs-gate: a mention whose gated
+    # candidates all rank below the ungated top-100 must fall through to
+    # fuzzy/NIL, not keep them.
     exact = (
-        q_tok.join(_idx(a_tok), (q_tok.q_tok == a_tok.a_tok) & a_gate)
+        q_tok.join(_idx(a_tok), q_tok.q_tok == a_tok.a_tok)
         .groupBy("mid", "n_q", "alias_id", "n_tokens")
         # count(*) == countDistinct(q_tok) here: q_tokens are array_distinct
         # and a_tok is deduped per alias, so each (mid, alias, q_tok) joins
@@ -330,6 +361,17 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
         .withColumn("d_star", F.lit(0))
         .localCheckpoint()  # feeds the union AND the fuzzy-phase anti-join
+    )
+    # fuzzy triggers when the GATED capped exact set is empty
+    # (linking.py:317-319: score_candidates(search_candidates(name, 0))
+    # empty -> retries); the gate needs cand_type, which _cap's attrs
+    # rejoin provides
+    exact_gated_mids = (
+        _cap(exact)
+        .join(queries.select("mid", "ent_type"), "mid")
+        .filter(a_gate_cand)
+        .select("mid")
+        .distinct()
     )
 
     # Phase 2 — fuzzy retrieval ONLY for mentions whose gated exact set is
@@ -348,33 +390,55 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
     # inflates the alias tokens ~|L|^2/2-fold; dimension-scale KBs broadcast
     # it, web-scale KBs shuffle it (see ``broadcast_index``) — the equi key
     # is identical in both regimes.
-    nil1 = q_tok.join(exact.select("mid").distinct(), "mid", "left_anti").filter(
+    nil1 = q_tok.join(exact_gated_mids, "mid", "left_anti").filter(
         F.col("budget") >= 1
     )
-    lev = F.levenshtein(F.col("q_tok"), F.col("a_tok"))
+    # Damerau-Levenshtein, NOT classic levenshtein: Lucene FuzzyQuery
+    # builds its automata with transpositions ('from'~1 matches 'form'),
+    # and the oracles use DuckDB's damerau_levenshtein (functions/editdist)
+    lev = dl_distance_udf(F.col("q_tok"), F.col("a_tok"))
     q_var = nil1.withColumn("variant", F.explode(deletion_variants("q_tok", "budget")))
     a_var = a_tok.withColumn("variant", F.explode(deletion_variants("a_tok", str(int(max_dist)))))
+    # retrieval is UNGATED (reference: `term~d` queries carry no type);
+    # a_type is carried through the rollup so the winning-dist vote below
+    # can look at gate compatibility without a rejoin
     fuzzy_pairs = (
-        q_var.join(_idx(a_var), (q_var.variant == a_var.variant) & a_gate)
+        q_var.join(_idx(a_var), q_var.variant == a_var.variant)
         .withColumn("lev", lev)
         .filter(F.col("lev") <= F.col("budget"))
     )
     # duplicate (q_tok, a_tok) rows from multiple shared variants are
     # harmless: the min() below is duplicate-insensitive
     per_tok = fuzzy_pairs.groupBy(
-        "mid", "n_q", "budget", "alias_id", "n_tokens", "q_tok"
+        "mid", "n_q", "budget", "alias_id", "a_type", "n_tokens", "q_tok"
     ).agg(F.min("lev").alias("min_lev"))
     fuzzy = (
-        per_tok.groupBy("mid", "n_q", "budget", "alias_id", "n_tokens")
+        per_tok.groupBy("mid", "n_q", "budget", "alias_id", "a_type", "n_tokens")
         .agg(F.count("*").alias("n_matched"), F.max("min_lev").alias("d_star"))
         .filter((F.col("n_matched") == F.col("n_q")) & (F.col("d_star") <= F.col("budget")))
     )
+    # winning dist = min d* over GATE-COMPATIBLE candidates (the reference
+    # stops at the first dist whose score_candidates output is non-empty,
+    # linking.py:318-329); emission then keeps ALL candidates with
+    # d* <= winning dist — retrieval at dist d includes every lower-dist
+    # match, and score_candidates gates them downstream
+    ent_types = queries.select("mid", "ent_type")
     w_m = Window.partitionBy("mid")
-    fuzzy = fuzzy.withColumn("d_min", F.min("d_star").over(w_m)).filter(
-        F.col("d_star") == F.col("d_min")
+    fuzzy = (
+        fuzzy.join(ent_types, "mid")
+        .withColumn("gated_d", F.when(a_gate, F.col("d_star")))
+        .withColumn("d_min", F.min("gated_d").over(w_m))
+        .filter(F.col("d_star") <= F.col("d_min"))
+        .drop("gated_d", "d_min", "ent_type", "a_type")
     )
+    # phase emissions are mid-disjoint: exact emits only for mids whose
+    # gated exact set is non-empty; every other mid goes through fuzzy,
+    # whose variant join re-retrieves the dist-0 matches too (a `term~d`
+    # query matches all distances <= d), so nothing is lost and nothing is
+    # emitted twice
+    exact_emit = exact.join(exact_gated_mids, "mid")
     return _cap(
-        exact.select("mid", "n_q", "alias_id", "n_tokens", "d_star").unionByName(
+        exact_emit.select("mid", "n_q", "alias_id", "n_tokens", "d_star").unionByName(
             fuzzy.select("mid", "n_q", "alias_id", "n_tokens", "d_star")
         )
     )
@@ -439,7 +503,9 @@ def disambiguate(scored: DataFrame, queries: DataFrame | None = None) -> DataFra
     if queries is not None:
         scored = scored.join(queries.select("mid", "ctx_tokens"), "mid")
     edit = 1.0 / (F.abs(F.length("cand_name") - F.length("ent_name")) + 1)  # X6
-    info_toks = F.array_distinct(F.split(F.col("info"), r"\s+"))
+    # array_remove "": iou('', sentence) must be 0 as in the reference's
+    # str.split() (F.split('', ..) yields [''] which would fake an overlap)
+    info_toks = F.array_remove(F.array_distinct(F.split(F.col("info"), r"\s+")), "")
     iou = F.size(F.array_intersect(info_toks, F.col("ctx_tokens"))) / F.size(
         F.array_union(info_toks, F.col("ctx_tokens"))
     )
@@ -483,8 +549,16 @@ def _tmp_eid():
 
 
 def promote_nils(nil_queries: DataFrame) -> DataFrame:
-    """A1 (linking.py:469-475): count still-NIL mentions per (name, type3);
-    >= 5 become temporary-KB entities."""
+    """A1 (linking.py:466-475): count still-NIL mentions per (name, type3);
+    >= 5 become temporary-KB entities.
+
+    DELIBERATE DEVIATION (DEVIATIONS #14): the reference's null_counter is
+    re-created PER DOCUMENT inside the directory loop, and a registration
+    only affects documents processed later — so its promotions depend on
+    os.listdir order and per-doc mention counts.  That is nondeterministic
+    under any parallel execution; we count over the WHOLE corpus and
+    retro-link uniformly, which is deterministic and promotes a superset
+    (any name reaching 5 in one document also reaches 5 corpus-wide)."""
     return (
         nil_queries.groupBy(F.col("ent_name").alias("name"), F.col("ent_type").alias("type"))
         .agg(F.count("*").alias("nil_count"))
@@ -495,11 +569,33 @@ def promote_nils(nil_queries: DataFrame) -> DataFrame:
 
 
 def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
-    """J3 (linking.py:366-388): exact name match + type equality; confidence
-    = edit-proximity normalized per mention."""
-    hits = nil_queries.join(
-        F.broadcast(tmpkb),
-        (F.lower(tmpkb.name) == nil_queries.ent_name) & (tmpkb.type == nil_queries.ent_type),
+    """J3 (linking.py:366-388): TemporaryKB.query is Lucene AND-of-terms
+    retrieval over the registered names — a mention matches when EVERY
+    mention token occurs among a registered name's tokens (so 'boeing'
+    retrieves a promoted 'boeing 777'), NOT only on full-string equality;
+    then type equality, confidence = edit-proximity normalized per mention.
+    Tokens are derived from ent_name here (same tokenizer family as the
+    StandardAnalyzer: split on non-alphanumerics, drop empties), so callers
+    need only (url, mid, ent_name, ent_type)."""
+    tok_expr = r"array_distinct(filter(split({col}, '[^\\p{{L}}\\p{{N}}]+'), t -> t != ''))"
+    names = tmpkb.select(
+        "tmp_eid", "name", "type",
+        F.explode(F.expr(tok_expr.format(col="lower(name)"))).alias("n_tok"),
+    )
+    q = nil_queries.select(
+        "url", "mid", "ent_name", "ent_type",
+        F.explode(F.expr(tok_expr.format(col="ent_name"))).alias("q_tok"),
+    ).withColumn("n_q", F.count("*").over(Window.partitionBy("mid")))
+    hits = (
+        q.join(
+            F.broadcast(names),
+            (F.col("q_tok") == F.col("n_tok")) & (F.col("type") == F.col("ent_type")),
+        )
+        # q tokens and name tokens are both distinct -> plain count gives
+        # the number of DISTINCT matched query tokens (AND semantics)
+        .groupBy("url", "mid", "ent_name", "n_q", "tmp_eid", "name")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == F.col("n_q"))
     )
     edit = 1.0 / (F.abs(F.length("name") - F.length("ent_name")) + 1)
     # ordered frame for deterministic double accumulation (see disambiguate)
@@ -569,17 +665,17 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
 
     nil_queries = queries.join(scored.select("mid").distinct(), "mid", "left_anti")
     seed = tmpkb_seed(mentions.sparkSession)
-    unresolved = nil_queries.join(
-        F.broadcast(seed),
-        (F.lower(seed.name) == nil_queries.ent_name) & (seed.type == nil_queries.ent_type),
-        "left_anti",
-    )
-    # promoted names are disjoint from seed names on (lower(name), type): any
-    # mention matching a seed is excluded above, so the union lookup below
-    # cannot split one mention's confidence across a seed and its duplicate.
+    # the reference counts toward promotion only mentions STILL 'none' after
+    # the tmpkb query (linking.py:466-470) — i.e. exclude every mention the
+    # token-AND lookup retrieves, not just exact name matches
+    seed_hit_mids = tmpkb_lookup(nil_queries, seed).select("mid").distinct()
+    unresolved = nil_queries.join(seed_hit_mids, "mid", "left_anti")
     # ``promote=False`` = the --run_csr flavor: NILs are looked up against
     # the tmp KB but never count-promoted (linking.py:579-607 has no
     # null_counter; registration happens only via cluster election, A3).
+    # A mention may retrieve BOTH a seed entry and a promoted one (Lucene
+    # searches the whole tmp index); the per-mention normalization splits
+    # confidence across them, as the reference's confsum does.
     tmpkb = seed.unionByName(promote_nils(unresolved)) if promote else seed
     tmp_links = tmpkb_lookup(nil_queries, tmpkb)
 
@@ -650,10 +746,17 @@ def audit_map_file(spark, kb: DataFrame, aliases: DataFrame, path: str) -> DataF
         return spark.createDataFrame(
             [], "q_name string, concept string, eid string, cname string, "
                 "confidence double, rank int, country string, feature string, wiki string")
-    result = query_kb(spark, kb, aliases, [(n, enttype) for n, _ in pairs])
+    # query each DISTINCT name once: duplicate names in the file would
+    # otherwise create duplicate query mids and the q_name join below would
+    # cross-multiply candidate sets (2 mids x 2 concept rows = 4 copies)
+    names = sorted({n for n, _ in pairs})
+    result = query_kb(spark, kb, aliases, [(n, enttype) for n in names])
     concepts = spark.createDataFrame(pairs, "q_name string, concept string")
+    # left join FROM concepts: every map row appears even when no candidate
+    # matched (the broadcast hint belongs on the joined side — on the
+    # preserved side of an outer join Spark ignores it)
     return (
-        result.join(F.broadcast(concepts), "q_name", "right")
+        concepts.join(F.broadcast(result), "q_name", "left")
         .select("q_name", "concept", "eid", "cname", "confidence", "rank",
                 "country", "feature", "wiki")
     )
@@ -693,7 +796,9 @@ def link_mentions_resumable(spark, mentions: DataFrame, kb: DataFrame,
     on url-hash buckets: a killed job resumes by skipping completed buckets
     and overwriting only recomputed partitions.  NIL detection is also
     per-mention (no gated candidate), but the PROMOTION threshold counts
-    still-NIL mentions across the WHOLE corpus (linking.py:469-475), so the
+    still-NIL mentions across the whole corpus (our deliberate,
+    deterministic generalization of the reference's per-document,
+    listdir-order-dependent counter — DEVIATIONS #14), so the
     NIL tail is recomputed globally on every run — it is an anti-join plus
     a groupBy over the small NIL remainder, cheap relative to the KB phase.
     Output is row-identical to link_mentions on the same inputs.
@@ -718,14 +823,17 @@ def link_mentions_resumable(spark, mentions: DataFrame, kb: DataFrame,
     kb_links = run_stage(spark, mentions, "kb_links", kb_phase,
                          out_dir, lineage_dir, n_buckets).drop("bucket")
 
-    queries = _nam_queries(mentions)
+    # materialize: the NIL tail fans this into the kb_links anti-join, the
+    # seed anti-join, promote_nils, and tmpkb_lookup — unmaterialized, each
+    # consumer re-derives the full mentions plan (a mapInPandas NER pass
+    # when the caller hands the discovery frame in directly)
+    queries = materialize(_nam_queries(mentions), "queries-nil")
     nil_queries = queries.join(kb_links.select("mid").distinct(), "mid", "left_anti")
     seed = tmpkb_seed(spark)
-    unresolved = nil_queries.join(
-        F.broadcast(seed),
-        (F.lower(seed.name) == nil_queries.ent_name) & (seed.type == nil_queries.ent_type),
-        "left_anti",
-    )
+    # token-AND retrieval decides who still counts toward promotion — same
+    # as link_mentions (the reference's tmpkb.query-then-count order)
+    seed_hit_mids = tmpkb_lookup(nil_queries, seed).select("mid").distinct()
+    unresolved = nil_queries.join(seed_hit_mids, "mid", "left_anti")
     tmpkb = seed.unionByName(promote_nils(unresolved)) if promote else seed
     tmp_links = tmpkb_lookup(nil_queries, tmpkb)
     return kb_links.unionByName(tmp_links)

@@ -137,7 +137,11 @@ def normalize_ldc_type(etype: str, subtype: str, subsubtype: str, ont_ids: list)
             elif t == "title":
                 t = "ttl"
             return "ldcOnt:" + t.upper()
-    return "ldcOnt:" + t.upper()
+    # fall-through: the reference only PRINTS a warning (main.py:181-182)
+    # and leaves mention['type'] untouched — it does NOT coerce to
+    # 'ldcOnt:'+T (a raw 'per' later slices type[7:10]=='' and never links,
+    # where a coerced 'ldcOnt:PER' would)
+    return etype
 
 
 def normalize_types_df(df: DataFrame, ont_ids: list) -> DataFrame:
@@ -148,21 +152,28 @@ def normalize_types_df(df: DataFrame, ont_ids: list) -> DataFrame:
     stays inside codegen.  Adds column ``ont``.
 
     Decision table (derived from the reference's per-ont elif chain,
-    main.py:155-180; grid-equivalence to the Python function is pinned by
-    test_mentions::test_normalize_types_df_equals_python):
+    main.py:155-182; grid-equivalence to the Python function is pinned by
+    test_mentions::test_normalize_types_df_equals_python).  On a no-match
+    fall-through the reference leaves the type UNCHANGED (prints a warning,
+    main.py:181) — it never coerces to 'ldcOnt:'+T:
       a) etype already ldc-prefixed        -> etype
       b) subsubtype known                  -> first ont containing '.sst',
-                                              else 'ldcOnt:' + upper(t)
+                                              else etype unchanged
       c) sst unknown, st known, t != n/a   -> first ont containing t AND '.st',
-                                              else 'ldcOnt:' + upper(t)
+                                              else etype unchanged
       d) sst unknown, st known, t == n/a   -> first ont containing '.st',
-                                              else 'ldcOnt:N/A'
+                                              else etype unchanged
       e) sst unknown, st unknown, t != n/a -> 'ldcOnt:' + upper(VAL/TTL
                                               rewrite of t)  (the reference
                                               returns this on the FIRST ont
-                                              iteration)
-      f) sst unknown, st unknown, t == n/a -> 'ldcOnt:N/A'
+                                              iteration — so only when the
+                                              ontology list is non-empty)
+      f) sst unknown, st unknown, t == n/a -> etype unchanged (the t=='n/a'
+                                              elif shadows the st-unknown
+                                              rewrite branch)
     """
+    if not ont_ids:  # empty ontology: the reference's loop never executes
+        return df.withColumn("ont", F.col("etype"))
     spark = df.sparkSession
     ont = spark.createDataFrame(
         [(i, o, o.lower()) for i, o in enumerate(ont_ids)], "idx int, ont string, low string"
@@ -196,7 +207,6 @@ def normalize_types_df(df: DataFrame, ont_ids: list) -> DataFrame:
               ["_t", "_st", "_sst"], "left")
     )
 
-    t_up = F.concat(F.lit("ldcOnt:"), F.upper(F.col("_t")))
     val_rewrite = F.concat(
         F.lit("ldcOnt:"),
         F.upper(
@@ -209,11 +219,11 @@ def normalize_types_df(df: DataFrame, ont_ids: list) -> DataFrame:
     st_known = ~F.col("_st").isin(".n/a", ".na")
     result = (
         F.when(F.col("etype").startswith("ldc"), F.col("etype"))
-        .when(sst_known, F.coalesce(F.col("_ont_sst"), t_up))
-        .when(st_known & (F.col("_t") != "n/a"), F.coalesce(F.col("_ont_tst"), t_up))
-        .when(st_known, F.coalesce(F.col("_ont_st"), F.lit("ldcOnt:N/A")))
+        .when(sst_known, F.coalesce(F.col("_ont_sst"), F.col("etype")))
+        .when(st_known & (F.col("_t") != "n/a"), F.coalesce(F.col("_ont_tst"), F.col("etype")))
+        .when(st_known, F.coalesce(F.col("_ont_st"), F.col("etype")))
         .when(F.col("_t") != "n/a", val_rewrite)
-        .otherwise(F.lit("ldcOnt:N/A"))
+        .otherwise(F.col("etype"))
     )
     return keyed.withColumn("ont", result).drop("_t", "_st", "_sst",
                                                 "_ont_sst", "_ont_tst", "_ont_st")

@@ -202,10 +202,12 @@ WHERE ncand = 1 OR rule_score = (SELECT max(s2.rule_score) FROM scored s2 WHERE 
 
 
 def q_fuzzy_candidates(spark, sf_dir):
-    """J2 (linking.py:141-148): levenshtein<=1 token match, equi-keyed on
-    SymSpell deletion variants (a HASH join, not the vocab x vocab
-    nested-loop a raw theta join would plan); one levenshtein per joined
-    pair verifies.  Mentions are vocabulary words with a typo appended."""
+    """J2 (linking.py:141-148): Damerau-Levenshtein<=1 token match
+    (Lucene FuzzyQuery is transposition-aware), equi-keyed on SymSpell
+    deletion variants (a HASH join, not the vocab x vocab nested-loop a raw
+    theta join would plan); one Damerau distance per joined pair verifies.
+    Mentions are vocabulary words with a typo appended."""
+    from ..functions.editdist import dl_distance_udf
     from ..operators.linking import deletion_variants
 
     vocab = _tokens(spark, sf_dir).select("word").distinct()
@@ -215,7 +217,7 @@ def q_fuzzy_candidates(spark, sf_dir):
     c_var = cand.withColumn("variant", F.explode(deletion_variants("cand", "1")))
     return (
         t_var.join(c_var, "variant")
-        .filter(F.levenshtein(F.col("m"), F.col("cand")) <= 1)
+        .filter(dl_distance_udf(F.col("m"), F.col("cand")) <= 1)
         .select("m", "cand")
         .dropDuplicates(["m", "cand"])
     )
@@ -225,7 +227,7 @@ _FUZZY_SQL = f"""
 WITH vocab AS (SELECT DISTINCT word FROM ({_TOKENS_SQL})),
 typo AS (SELECT word || 'x' AS m FROM vocab)
 SELECT t.m, v.word AS cand FROM typo t JOIN vocab v
-ON len(v.word) BETWEEN len(t.m) - 1 AND len(t.m) + 1 AND levenshtein(t.m, v.word) <= 1
+ON len(v.word) BETWEEN len(t.m) - 1 AND len(t.m) + 1 AND damerau_levenshtein(t.m, v.word) <= 1
 """
 
 
@@ -389,13 +391,13 @@ sel AS (
 )
 SELECT doc_id, pos, etype, subtype, subsubtype,
   CASE WHEN etype LIKE 'ldc%' THEN etype
-       WHEN NOT contains(sst, 'n/a') THEN coalesce(ont_sst, 'ldcOnt:' || upper(t))
-       WHEN st NOT IN ('.n/a', '.na') AND t <> 'n/a' THEN coalesce(ont_tst, 'ldcOnt:' || upper(t))
-       WHEN st NOT IN ('.n/a', '.na') THEN coalesce(ont_st, 'ldcOnt:N/A')
+       WHEN NOT contains(sst, 'n/a') THEN coalesce(ont_sst, etype)
+       WHEN st NOT IN ('.n/a', '.na') AND t <> 'n/a' THEN coalesce(ont_tst, etype)
+       WHEN st NOT IN ('.n/a', '.na') THEN coalesce(ont_st, etype)
        WHEN t <> 'n/a' THEN 'ldcOnt:' || upper(
          CASE WHEN t IN ('numerical', 'url', 'time') THEN 'val'
               WHEN t = 'title' THEN 'ttl' ELSE t END)
-       ELSE 'ldcOnt:N/A' END AS ont
+       ELSE etype END AS ont
 FROM sel
 """
 

@@ -71,6 +71,7 @@ def test_unified_equals_sequential(spark, alias_table):
         ("moscow", "GPE"),          # exact, multiple candidates
         ("kramatorskk", "GPE"),     # fuzzy dist-1 only
         ("horlivkaaa", "GPE"),      # fuzzy dist-2
+        ("mocsow", "GPE"),          # adjacent transposition: DL 1 (lev 2 > budget 1)
         ("kyi", "GPE"),             # budget 0 -> no fuzzy, NIL
         ("zorylenko", "PER"),       # no match at any dist
         ("viktor marchenko", "PER"),  # multiword exact
@@ -80,7 +81,19 @@ def test_unified_equals_sequential(spark, alias_table):
     ]
     queries = mk_queries(spark, cases).localCheckpoint()
     seq = sequential_reference(spark, queries, alias_table)
+    # unified now emits UNGATED retrieval (score_candidates owns the F6
+    # gate, as in the reference) — apply the same gate before comparing
+    gate = (
+        (F.col("ent_type").isin("GPE", "LOC", "FAC") & F.col("cand_type").isin("GPE", "LOC"))
+        | ((F.col("ent_type") == "ORG") & (F.col("cand_type") == "ORG"))
+        | ((F.col("ent_type") == "PER") & (F.col("cand_type") == "PER"))
+    )
+    uni_gated = (
+        generate_candidates_unified(queries, alias_table)
+        .join(queries.select("mid", "ent_type"), "mid")
+        .filter(gate)
+    )
     uni = {}
-    for r in generate_candidates_unified(queries, alias_table).select("mid", "eid").distinct().collect():
+    for r in uni_gated.select("mid", "eid").distinct().collect():
         uni.setdefault(r["mid"], set()).add(r["eid"])
     assert uni == seq

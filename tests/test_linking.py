@@ -164,16 +164,24 @@ def test_audit_map_file(spark, tmp_path):
     from named_entity_discovery_and_linking_spark.operators.linking import audit_map_file
 
     p = tmp_path / "named_gpe_audit.csv"
-    p.write_text("L,'Kyiv,'concept:kyiv\nX,'Skipme,'concept:skip\nL,'Qqqq,'concept:q\n")
+    p.write_text("L,'Kyiv,'concept:kyiv\nX,'Skipme,'concept:skip\nL,'Qqqq,'concept:q\n"
+                 "L,'Kyiv,'concept:kyiv2\n")  # same name, second concept
     kb, al = kb_dfs(spark)
     out = audit_map_file(spark, kb, al, str(p)).collect()
     by_name = {}
     for r in out:
         by_name.setdefault(r["q_name"], []).append(r)
     assert set(by_name) == {"Kyiv", "Qqqq"}          # non-L row skipped
-    assert by_name["Kyiv"][0]["concept"] == "concept:kyiv"
     assert any(r["eid"] for r in by_name["Kyiv"])     # linked
     assert all(r["eid"] is None for r in by_name["Qqqq"])  # 'none' row kept
+    # a name listed with two concepts gets each candidate set ONCE per
+    # concept — no cross-multiplication from duplicate query rows
+    kyiv_by_concept = {}
+    for r in by_name["Kyiv"]:
+        kyiv_by_concept.setdefault(r["concept"], []).append(r["eid"])
+    assert set(kyiv_by_concept) == {"concept:kyiv", "concept:kyiv2"}
+    assert kyiv_by_concept["concept:kyiv"] == kyiv_by_concept["concept:kyiv2"]
+    assert len(kyiv_by_concept["concept:kyiv"]) == len(set(kyiv_by_concept["concept:kyiv"]))
 
 
 def test_audit_map_file_requires_typed_filename(spark, tmp_path):
@@ -199,3 +207,73 @@ def test_query_tmpkb_probe(spark):
     assert set(out) == {"MH17"}
     assert out["MH17"]["eid"].startswith("tmpkb:@")
     assert out["MH17"]["confidence"] == 1.0 and out["MH17"]["rank"] == 1
+
+
+def test_cap_before_gate_reference_order(spark):
+    """The top-100 cap applies to UNGATED retrieval (searcher.search(q, 100))
+    and the F6 gate runs afterwards in score_candidates (linking.py:112,
+    :151-159): a PER mention whose 3 PER candidates rank below 150 GPE
+    candidates in retrieval order must go NIL — gating inside the retrieval
+    join would incorrectly keep them.  Below the cap the same setup links."""
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        generate_candidates_unified,
+        score_candidates,
+    )
+
+    def aliases(n_gpe):
+        rows = [(i, f"gpe{i}", "washington", "washington", "GPE", "", 1, 1,
+                 ["washington"]) for i in range(n_gpe)]
+        rows += [(1000 + i, f"per{i}", "washington", "washington", "PER", "", 1, 1,
+                  ["washington"]) for i in range(3)]
+        return spark.createDataFrame(
+            rows,
+            "alias_id long, eid string, cand_name string, cname string, "
+            "cand_type string, info string, info_nfields int, n_tokens int, "
+            "tokens array<string>",
+        )
+
+    queries = spark.createDataFrame(
+        [("u", "m1", "washington", "PER", ["washington"], ["washington"], 1)],
+        "url string, mid string, ent_name string, ent_type string, "
+        "ctx_tokens array<string>, q_tokens array<string>, n_q int",
+    )
+    # 150 GPE rows with lower alias_ids: the ungated top-100 is all-GPE,
+    # the gate then empties it, fuzzy re-retrieves the same set -> NIL
+    over = score_candidates(
+        generate_candidates_unified(queries, aliases(150), 2, broadcast_index=True),
+        queries,
+    )
+    assert over.count() == 0
+    # 50 GPE rows: all 53 candidates fit the cap, the gate keeps the 3 PERs
+    under = score_candidates(
+        generate_candidates_unified(queries, aliases(50), 2, broadcast_index=True),
+        queries,
+    )
+    assert sorted(r["eid"] for r in under.collect()) == ["per0", "per1", "per2"]
+
+
+def test_tmpkb_token_subset_retrieval(spark):
+    """TemporaryKB.query is Lucene AND-of-terms (linking.py:372): a mention
+    whose tokens are a SUBSET of a registered name's tokens retrieves it —
+    'boeing' hits a promoted 'boeing 777'; full-string equality is not
+    required; type equality still gates."""
+    from named_entity_discovery_and_linking_spark.operators.linking import (
+        tmpkb_lookup,
+    )
+
+    tmpkb = spark.createDataFrame(
+        [("@abc", "boeing 777", "VEH"), ("@def", "kyiv", "GPE")],
+        "tmp_eid string, name string, type string",
+    )
+    nil_q = spark.createDataFrame(
+        [("u", "m1", "boeing", "VEH", [""]),
+         ("u", "m2", "777 boeing", "VEH", [""]),   # order-free AND
+         ("u", "m3", "boeing 747", "VEH", [""]),   # '747' unmatched -> miss
+         ("u", "m4", "boeing", "GPE", [""])],      # type gate -> miss
+        "url string, mid string, ent_name string, ent_type string, "
+        "ctx_tokens array<string>",
+    )
+    got = {r["mid"]: r for r in tmpkb_lookup(nil_q, tmpkb).collect()}
+    assert set(got) == {"m1", "m2"}
+    assert got["m1"]["eid"] == "tmpkb:@abc"
+    assert got["m1"]["confidence"] == 1.0  # single hit -> normalized to 1

@@ -244,3 +244,25 @@ def test_single_word_np_filters_reference_sets():
     noms = get(rows, "NOM")
     assert any(r[13].lower() == "soldiers" for r in noms)
     assert any(r[13] == "bridge" for r in noms)
+
+
+def test_normalize_fallthrough_keeps_raw_type():
+    """main.py:181-182: a no-match fall-through only prints a warning — the
+    raw type survives (it is NOT coerced to ldcOnt:T; downstream type[7:10]
+    slicing then yields '' and the mention never links, as in the
+    reference)."""
+    from named_entity_discovery_and_linking_spark.operators.mentions import (
+        normalize_ldc_type,
+    )
+
+    ont = ["ldcOnt:GPE.UrbanArea.City", "ldcOnt:PER.Politician"]
+    # sst known but matched nowhere -> raw
+    assert normalize_ldc_type("PER", "Foo", "bar", ont) == "PER"
+    # st known, t+st matched nowhere -> raw
+    assert normalize_ldc_type("ORG", "Weird", None, ont) == "ORG"
+    # all-n/a triple -> raw (the t=='n/a' elif shadows the rewrite branch)
+    assert normalize_ldc_type("n/a", None, None, ont) == "n/a"
+    # empty ontology: the loop never runs -> raw even for the VAL rewrite case
+    assert normalize_ldc_type("numerical", None, None, []) == "numerical"
+    # the in-loop VAL rewrite still fires with a non-empty ontology
+    assert normalize_ldc_type("numerical", None, None, ont) == "ldcOnt:VAL"

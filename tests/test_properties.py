@@ -168,3 +168,57 @@ def test_deletion_variants_sql_matches_python(spark):
     got = df.select("w", "budget", deletion_variants("w", "budget").alias("v")).collect()
     for r in got:
         assert set(r["v"]) == _py_deletions(r["w"], r["budget"]), (r["w"], r["budget"])
+
+
+def _dl_cases():
+    import random
+    rng = random.Random(42)
+    alpha = "abcde"
+    out = []
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 7)))
+        out.append((a, b))
+    return out
+
+
+def test_dl_distance_matches_duckdb():
+    """The Python full-DL implementation must agree with DuckDB's
+    damerau_levenshtein — the oracle side of every fuzzy query — on random
+    pairs AND the OSA-vs-full-DL discriminating case."""
+    import duckdb
+
+    from named_entity_discovery_and_linking_spark.functions.editdist import dl_distance
+
+    con = duckdb.connect()
+    assert dl_distance("CA", "ABC") == 2  # full DL (OSA would say 3)
+    for a, b in _dl_cases() + [("from", "form"), ("CA", "ABC"), ("", "ab")]:
+        want = con.sql(
+            "select damerau_levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert dl_distance(a, b) == want, (a, b)
+
+
+def test_deletion_variant_guarantee_holds_for_damerau():
+    """The SymSpell equi-join retrieves a SUPERSET of Damerau matches: every
+    pair with dl <= d shares a string reachable by <= d deletions from each
+    side (each DL edit — transpositions included — costs at most one
+    deletion per side)."""
+    from named_entity_discovery_and_linking_spark.functions.editdist import dl_distance
+
+    def variants(s, d):
+        out = {s}
+        frontier = {s}
+        for _ in range(d):
+            nxt = set()
+            for t in frontier:
+                for i in range(len(t)):
+                    nxt.add(t[:i] + t[i + 1:])
+            out |= nxt
+            frontier = nxt
+        return out
+
+    for a, b in _dl_cases():
+        d = dl_distance(a, b)
+        if d <= 2:
+            assert variants(a, d) & variants(b, d), (a, b, d)
