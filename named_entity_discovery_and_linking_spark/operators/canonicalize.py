@@ -149,8 +149,12 @@ def cluster_mentions(mentions: DataFrame, links: DataFrame) -> DataFrame:
 
 def cluster_link_vote(clusters: DataFrame, links: DataFrame) -> DataFrame:
     """A2 (linking.py:667-690): per cluster sum link confidence per eid; the
-    argmax eid wins and every member is re-linked to it with the member's own
-    confidence preserved where it had one, else the cluster-best confidence."""
+    argmax eid wins and EVERY member gets the SAME xref — the reference
+    appends one shared ``final_linking`` record (the first member in frame
+    order whose link id equals the winner) to every cluster member.  The
+    shared score here is the winner-eid's best member confidence — a
+    deterministic proxy for the reference's frame-order 'first' (which
+    depends on CSR file order)."""
     top = links.filter(F.col("rank") == 1).select("mid", "eid", "cname", "confidence")
     per_eid = (
         clusters.join(top, "mid")
@@ -170,20 +174,28 @@ def cluster_link_vote(clusters: DataFrame, links: DataFrame) -> DataFrame:
 
 def elect_best_mention(clusters: DataFrame, mentions: DataFrame) -> DataFrame:
     """A3 (linking.py:624-653): for clusters with NO linked member, elect the
-    most frequent NAM mention text; ties broken by longer string."""
+    most frequent NAM mention TEXT (the reference's mention_counter is keyed
+    by text alone — votes are NOT split by type); ties broken by longer
+    string, then lexicographic (deterministic refinement of the reference's
+    dict-order tie).  The elected type is the type of the FIRST cluster
+    member bearing that text (linking.py:643-646 breaks on the first frame)
+    — here the min-mid member, the deterministic proxy for frame order."""
     nam = mentions.filter(F.col("category") == "NAM").select("mid", "mention", "coarse_type")
-    counts = (
-        clusters.join(nam, "mid")
-        .groupBy("cluster_id", "mention", "coarse_type")
-        .agg(F.count("*").alias("cnt"))
-    )
+    member = clusters.join(nam, "mid")
+    counts = member.groupBy("cluster_id", "mention").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("cnt").desc(), F.length("mention").desc(), F.col("mention").asc()
     )
-    return (
+    best = (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("cluster_id", F.col("mention").alias("best_mention"), "coarse_type")
+        .select("cluster_id", "mention")
+    )
+    typed = member.groupBy("cluster_id", "mention").agg(
+        F.expr("min_by(coarse_type, mid)").alias("coarse_type")
+    )
+    return best.join(typed, ["cluster_id", "mention"]).select(
+        "cluster_id", F.col("mention").alias("best_mention"), "coarse_type"
     )
 
 
@@ -200,9 +212,15 @@ def canonical_entities(clusters: DataFrame, links: DataFrame, mentions: DataFram
         F.col("coarse_type").isin("GPE", "LOC", "FAC", "PER", "ORG", "VEH", "WEA")
     ).select(
         "cluster_id",
+        # sha1 over LOWER(best_mention): the reference registers
+        # tmpkb.register(best_mention.lower(), ...) (linking.py:653) while
+        # the xref's canonical_name keeps the raw case — matching both
+        # promote_nils' lowercased minting and plans/csr.py's ids
         F.concat(
             F.lit("tmpkb:@"),
-            F.substring(F.sha1(F.concat_ws("|", "best_mention", "coarse_type")), 1, 12),
+            F.substring(
+                F.sha1(F.concat_ws("|", F.lower("best_mention"), "coarse_type")), 1, 12
+            ),
         ).alias("eid"),
         F.col("best_mention").alias("cname"),
     )

@@ -38,12 +38,15 @@ def read_edl_tab(spark, path: str) -> DataFrame:
     char_end, fb_id, wiki_id, form).  Span format ``doc:begin-end``
     (unify_edl.py:12-14); offsets kept as in the file (end inclusive).
 
-    ``path`` may be a single file, a glob, or a directory: line numbers are
-    derived PER INPUT FILE (window partitioned by ``input_file_name()``), so
-    the last-line-wins rule never depends on cross-file partition
-    enumeration order.  Within a file, splits get increasing partition ids
-    in byte-offset order, so ``monotonically_increasing_id`` is
-    read-order-stable inside the per-file window.
+    ``path`` may be a single file, a glob, or a directory: line numbers
+    are derived per input file (window partitioned by
+    ``input_file_name()``) and then composed with the file's lexicographic
+    rank into a TOTAL order, so the last-line-wins rule is deterministic
+    both within and ACROSS files (a per-file restart would make the winner
+    depend on which file a duplicate landed in).  Within a file, splits get
+    increasing partition ids in byte-offset order, so
+    ``monotonically_increasing_id`` is read-order-stable inside the
+    per-file window.
     """
     raw = spark.read.text(path).select(
         F.input_file_name().alias("_src"),
@@ -52,14 +55,31 @@ def read_edl_tab(spark, path: str) -> DataFrame:
     )
     w = Window.partitionBy("_src").orderBy("_file_order")
     parts = F.split(F.col("value"), "\t")
+    per_file = raw.withColumn("_file_line", F.row_number().over(w))
+    # line_no must be a TOTAL order across files: merge_edl's last-wins rule
+    # sorts on it, and a per-file restart would make the winner depend on
+    # which file a duplicate landed in.  Files rank lexicographically (the
+    # reference reads ONE tab file, so single-file behavior is identical);
+    # the composite key leaves 2^32 lines per file.
+    file_rank = (
+        raw.select("_src").distinct()
+        .withColumn("_file_idx",
+                    F.row_number().over(Window.orderBy("_src")) - 1)
+    )
     return (
-        raw.withColumn("line_no", F.row_number().over(w))
+        per_file.join(F.broadcast(file_rank), "_src")
+        .withColumn(
+            "line_no",
+            (F.col("_file_idx").cast("bigint") * F.lit(2**32) + F.col("_file_line")),
+        )
         .select(
             "line_no",
             *[parts.getItem(i).alias(c) for i, c in enumerate(_EDL_COLS)],
         )
         .withColumn("doc", F.regexp_extract("span", r"^(.*):\d+-\d+$", 1))
-        .withColumn("char_begin", F.regexp_extract("span", r":(\d+)-", 1).cast("int"))
+        # anchored: the unanchored ':(\d+)-' grabbed the FIRST ':digits-'
+        # anywhere in the span, mis-parsing doc ids like 'doc:2020-01:45-67'
+        .withColumn("char_begin", F.regexp_extract("span", r":(\d+)-\d+$", 1).cast("int"))
         .withColumn("char_end", F.regexp_extract("span", r"-(\d+)$", 1).cast("int"))
         .select("doc", "line_no", "mention", "char_begin", "char_end",
                 "fb_id", "wiki_id", "form")

@@ -52,8 +52,9 @@ def merge_fringe_links(native: DataFrame, fringe: DataFrame) -> DataFrame:
 def subtype_vote(span_votes: DataFrame) -> DataFrame:
     """A4 (run_multi_ner.py:479-491): per predicted span, votes over
     hierarchy-collapsed subtypes; winner + vote share; spans with more than
-    SUBTYPE_DISTRUST_MAX_VOTES distinct vote rows are dropped entirely
-    (the distrust rule, ner.py:368-369).
+    SUBTYPE_DISTRUST_MAX_VOTES DISTINCT subtypes are dropped entirely — the
+    reference's ``len(nertype) > 10`` (ner.py:368-369) counts the sorted
+    (subtype, count) LIST, i.e. distinct subtypes, NOT total vote rows.
 
     Input rows: (url, sid, tok_begin, tok_end, subtype) — one per model vote.
     Output: (url, sid, tok_begin, tok_end, subtype, votes, vote_share).
@@ -67,33 +68,62 @@ def subtype_vote(span_votes: DataFrame) -> DataFrame:
     best = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         best.join(per_span, keys)
-        .filter(F.col("total") <= SUBTYPE_DISTRUST_MAX_VOTES)
+        .filter(F.col("n_distinct_subtypes") <= SUBTYPE_DISTRUST_MAX_VOTES)
         .select(*keys, "subtype", "votes",
                 F.round(F.col("votes") / F.col("total"), 6).alias("vote_share"))
     )
 
 
 def attach_subtypes(mentions: DataFrame, subtype_spans: DataFrame,
-                    hierarchy: DataFrame) -> DataFrame:
+                    hierarchy: DataFrame, end_col: str = "char_end") -> DataFrame:
     """J5 (ner.py:367-382): attach a predicted subtype to a NAM mention when
-    the subtype span's END matches the mention span's end (the reference
-    matches on the end token), and the subtype is legal for the mention's
-    coarse type per SUBTYPE_HIERARCHY (semi-join vs the hierarchy table)."""
+    the subtype span's END matches the mention span's end, and the subtype
+    is legal for the mention's coarse type per SUBTYPE_HIERARCHY.
+
+    COORDINATE CONTRACT: the reference matches ``ner['token_span'][1] ==
+    span[1]`` — TOKEN indices.  ``subtype_spans.tok_end`` and the mentions
+    column named by ``end_col`` must therefore be in the SAME coordinate
+    space; callers composing with a token-indexed voter pass their mentions'
+    token-end column, callers with char-offset spans pass a char column.
+    (The default ``char_end`` matches the driver fixture, which synthesizes
+    both sides from one position value.)
+
+    When ``subtype_spans`` carries a ``votes`` column (subtype_vote's raw
+    per-subtype counts), candidates are tried in (votes desc, subtype asc)
+    order and the FIRST LEGAL one wins — the reference sorts the vote list
+    and breaks on the first hierarchy hit, so an illegal top subtype falls
+    through to the runner-up instead of attaching nothing.  Exactly one
+    subtype attaches per mention (the reference's dict-overwrite keeps one);
+    without votes the tie-break is (subtype asc, span end)."""
+    has_votes = "votes" in subtype_spans.columns
+    sel = [
+        subtype_spans.url.alias("s_url"), subtype_spans.sid.alias("s_sid"),
+        subtype_spans.tok_end.alias("s_end"),
+        subtype_spans.subtype.alias("pred_subtype"),
+        hierarchy.type.alias("h_type"),
+    ]
+    if has_votes:
+        sel.append(subtype_spans.votes.alias("s_votes"))
     legal = subtype_spans.join(
         F.broadcast(hierarchy),
         (subtype_spans.subtype == hierarchy.subtype),
-    ).select(
-        subtype_spans.url.alias("s_url"), subtype_spans.sid.alias("s_sid"),
-        subtype_spans.tok_end.alias("s_end"), subtype_spans.subtype.alias("pred_subtype"),
-        hierarchy.type.alias("h_type"),
-    )
+    ).select(*sel)
     joined = mentions.join(
         legal,
         (mentions.url == F.col("s_url"))
         & (mentions.sid == F.col("s_sid"))
-        & (mentions.char_end == F.col("s_end"))
+        & (mentions[end_col] == F.col("s_end"))
         & (mentions.coarse_type == F.col("h_type")),
         "left",
+    )
+    order = ([F.col("s_votes").desc_nulls_last()] if has_votes else []) + [
+        F.col("pred_subtype").asc_nulls_last(), F.col("s_end").asc_nulls_last(),
+    ]
+    w = Window.partitionBy("mid").orderBy(*order)
+    joined = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", *(["s_votes"] if has_votes else []))
     )
     return joined.withColumn(
         "subtype", F.coalesce(F.col("pred_subtype"), F.col("subtype"))

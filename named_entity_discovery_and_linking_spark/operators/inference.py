@@ -100,7 +100,16 @@ def tag_pages_pandas(
     preds = []
     for k in range(0, len(units), sentence_batch):
         chunk = units[k:k + sentence_batch]
-        preds.extend(model.predict([[t[0] for t in u[4]] for u in chunk]))
+        out = model.predict([[t[0] for t in u[4]] for u in chunk])
+        if len(out) != len(chunk):
+            # zip() would silently TRUNCATE, dropping the tail sentences of
+            # every Arrow batch with no error — fail loudly instead
+            raise ValueError(
+                f"model.predict returned {len(out)} results for a batch of "
+                f"{len(chunk)} sentences — the adapter contract is one "
+                "(labels, probs) pair per input sentence"
+            )
+        preds.extend(out)
     rows = []
     for (url, sid, sent, s_begin, tokens, lows, coarse), (labels, probs) in zip(
         units, preds

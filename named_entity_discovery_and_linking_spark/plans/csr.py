@@ -162,7 +162,10 @@ def link_csr(entities: DataFrame, sentences: DataFrame, clusters: DataFrame,
             F.lit("tmpkb:@"),
             F.substring(F.sha1(F.concat_ws("|", F.lower("best_mention"), "coarse_type")), 1, 12),
         ).alias("e_eid"),
-        F.lower(F.col("best_mention")).alias("e_cname"),
+        # raw case: the reference writes 'canonical_name': best_mention
+        # as-is (linking.py:665) — only the REGISTERED tmp-KB name (and
+        # hence the id) is lowercased
+        F.col("best_mention").alias("e_cname"),
     )
     elected_members = clu.join(elected, "cluster_id").select(
         "mid", F.col("e_eid").alias("eid"), F.col("e_cname").alias("cname"),

@@ -510,8 +510,9 @@ FROM merged
 
 def q_subtype_vote(spark, sf_dir):
     """A4 (run_multi_ner.py:479-491) through enrich.subtype_vote: span votes
-    derived from tokens; majority subtype + vote share; the >10-votes
-    distrust rule (ner.py:368-369) drops hot spans."""
+    derived from tokens; majority subtype + vote share; the >10 DISTINCT
+    subtypes distrust rule (ner.py:368-369 — len of the sorted (subtype,
+    count) list) drops hot spans."""
     from ..operators.enrich import subtype_vote
 
     votes = _tokens(spark, sf_dir).select(
@@ -536,7 +537,8 @@ counts AS (
   FROM votes GROUP BY 1, 2, 3, 4, 5
 ),
 spans AS (
-  SELECT url, sid, tok_begin, tok_end, CAST(SUM(votes) AS BIGINT) AS total
+  SELECT url, sid, tok_begin, tok_end, CAST(SUM(votes) AS BIGINT) AS total,
+         COUNT(*) AS n_distinct
   FROM counts GROUP BY 1, 2, 3, 4
 ),
 best AS (
@@ -547,7 +549,7 @@ best AS (
 SELECT b.url, b.sid, b.tok_begin, b.tok_end, b.subtype, b.votes,
        round(b.votes / s.total, 6) AS vote_share
 FROM best b JOIN spans s USING (url, sid, tok_begin, tok_end)
-WHERE b.rn = 1 AND s.total <= 10
+WHERE b.rn = 1 AND s.n_distinct <= 10
 """
 
 GAZ_SUBSTRINGS = [("par", "T.Par"), ("spark", "T.Spark"), ("sca", "T.Sca"),

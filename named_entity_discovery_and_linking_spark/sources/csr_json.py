@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Iterator
+from urllib.parse import unquote
 
 import pandas as pd
 
@@ -87,7 +88,11 @@ def read_csr_dir(spark, in_dir: str):
             for pdf in batches:
                 rows = []
                 for path, payload in zip(pdf["path"], pdf["value"]):
-                    doc = os.path.basename(path)
+                    # input_file_name() returns a URI — unquote it so docs
+                    # with spaces/special chars ('my doc.csr.json' arrives
+                    # as 'my%20doc.csr.json') still match the real listdir
+                    # basenames the sinks join against (plans/csr.py)
+                    doc = os.path.basename(unquote(path))
                     rows.extend(_parse_csr(doc, payload)[which])
                 yield pd.DataFrame(rows, columns=cols)
 

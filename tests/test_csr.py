@@ -262,3 +262,27 @@ def test_run_csr_nonlocal_scheme_end_to_end(spark, csr_dir, tmp_path):
     run_csr(spark, csr_dir, out_local, "en")
     with open(got_path) as a, open(os.path.join(out_local, "doc1.csr.json")) as b:
         assert a.read() == b.read()
+
+
+def test_run_csr_special_char_filenames(spark, tmp_path):
+    """input_file_name() URI-encodes paths ('my doc' -> 'my%20doc'); the
+    reader must unquote so the per-doc xref join still matches the real
+    listdir basenames — otherwise such files are silently copied through
+    with their links dropped."""
+    d = tmp_path / "csr in"
+    d.mkdir()
+    _write_csr(
+        str(d / "my doc.csr.json"),
+        [
+            {"@type": "sentence", "@id": "s1",
+             "provenance": {"text": "Fighting near Kyiv continued"}},
+            _frame_ent("e1", "Kyiv", "ldcOnt:GPE"),
+        ],
+    )
+    out = str(tmp_path / "out")
+    n = run_csr(spark, str(d), out, "en")
+    assert n == 1
+    with open(os.path.join(out, "my doc.csr.json")) as f:
+        doc = json.load(f)
+    by_id = {fr["@id"]: fr for fr in doc["frames"] if fr["@type"] == "entity_evidence"}
+    assert by_id["e1"]["interp"]["xref"], "links were dropped for the spaced filename"

@@ -111,9 +111,11 @@ def test_read_edl_tab(spark, tmp_path):
 
 
 def test_read_edl_tab_multi_file_line_numbers(spark, tmp_path):
-    """line_no restarts per input file: with a directory of tab files, the
-    old global monotonically_increasing_id window would have numbered lines
-    across files in arbitrary partition-enumeration order."""
+    """line_no is a TOTAL order: per-file read order composed with the
+    file's lexicographic rank (file_idx * 2^32 + file_line), so the
+    last-line-wins rule is deterministic both within and across files —
+    neither partition-enumeration order nor a per-file restart can change
+    the winner."""
     def mk(word, doc, n):
         return "\n".join(
             "\t".join(["x", "x", f"{word}{i}", f"{doc}:{i}-{i+3}", f"fb:{word}{i}",
@@ -127,12 +129,47 @@ def test_read_edl_tab_multi_file_line_numbers(spark, tmp_path):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc"], []).append(r)
+    base = 2 ** 32
     assert sorted(r["line_no"] for r in by_doc["docA"]) == [1, 2, 3]
-    assert sorted(r["line_no"] for r in by_doc["docB"]) == [1, 2, 3, 4, 5]
-    # within each file, line_no follows file order (mention index == line_no - 1)
-    for doc, word in (("docA", "Kyiv"), ("docB", "Lviv")):
+    assert sorted(r["line_no"] for r in by_doc["docB"]) == [base + 1, base + 2,
+                                                           base + 3, base + 4, base + 5]
+    # a.tab ranks before b.tab lexicographically: every a line < every b line
+    assert max(r["line_no"] for r in by_doc["docA"]) < min(r["line_no"] for r in by_doc["docB"])
+    # within each file, line_no follows file order
+    for doc, word, off in (("docA", "Kyiv", 0), ("docB", "Lviv", base)):
         for r in by_doc[doc]:
-            assert r["mention"] == f"{word}{r['line_no'] - 1}"
+            assert r["mention"] == f"{word}{r['line_no'] - off - 1}"
+
+
+def test_read_edl_tab_colon_doc_ids(spark, tmp_path):
+    """Doc ids containing ':<digits>-' must parse correctly: the span regex
+    is anchored, so 'doc:2020-01:45-67' yields doc='doc:2020-01',
+    begin=45, end=67 (the unanchored form grabbed ':2020-')."""
+    line = "\t".join(
+        ["x", "x", "Kyiv", "doc:2020-01:45-67", "fb:k", "GPE", "NAM", "x", "K", "LOC", "wk:k"]
+    )
+    (tmp_path / "edl.tab").write_text(line + "\n")
+    r = read_edl_tab(spark, str(tmp_path / "edl.tab")).collect()[0]
+    assert r["doc"] == "doc:2020-01"
+    assert (r["char_begin"], r["char_end"]) == (45, 67)
+
+
+def test_merge_edl_cross_file_last_wins(spark, tmp_path):
+    """Two files, both matching the same mention: the row from the
+    lexicographically LATER file wins (total line order), regardless of
+    partition enumeration."""
+    row_a = "\t".join(["x", "x", "Kyiv", "d:100-103", "fb:A", "GPE", "NAM", "x", "K", "LOC", "wk:A"])
+    row_b = "\t".join(["x", "x", "Kyiv", "d:100-103", "fb:B", "GPE", "NAM", "x", "K", "LOC", "wk:B"])
+    (tmp_path / "a.tab").write_text(row_a + "\n")
+    (tmp_path / "b.tab").write_text(row_b + "\n")
+    edl = read_edl_tab(spark, str(tmp_path))
+    mentions = spark.createDataFrame(
+        [("d", "m1", "NAM", "Kyiv", 100, 104, "Kyiv", 100, 104)],
+        "url string, mid string, category string, mention string, "
+        "char_begin int, char_end int, headword string, head_begin int, head_end int",
+    )
+    out = merge_edl(mentions, edl).collect()
+    assert len(out) == 1 and out[0]["fb_id"] == "fb:B"
 
 
 def test_nam_nom_dedup_df(spark):

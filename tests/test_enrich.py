@@ -70,3 +70,41 @@ def test_gazetteer_substring_vote(spark):
     out = {r["mid"]: (r["voted_type"], r["votes"]) for r in gazetteer_substring_vote(mentions, gaz).collect()}
     assert out["m1"] == ("ldcOnt:PER.MilitaryPersonnel", 2)  # majority over substring hits
     assert "m2" not in out
+
+
+def test_attach_subtypes_first_legal_falls_through(spark):
+    """ner.py:378-381: candidates are tried in vote order and the FIRST
+    LEGAL subtype wins — an illegal top-voted subtype falls through to the
+    runner-up instead of attaching nothing; exactly one attaches."""
+    from pyspark.sql import functions as F
+
+    mentions = spark.createDataFrame(
+        [("u", 0, "m1", "PER", 5, "n/a")],
+        "url string, sid int, mid string, coarse_type string, char_end int, subtype string",
+    )
+    spans = spark.createDataFrame(
+        [("u", 0, 5, "UrbanArea", 5),    # top votes but GPE-only: illegal
+         ("u", 0, 5, "Politician", 2),   # runner-up, PER-legal -> wins
+         ("u", 0, 5, "Government", 1)],  # legal but fewer votes
+        "url string, sid int, tok_end int, subtype string, votes int",
+    )
+    hier = spark.createDataFrame(
+        [("PER", "Politician"), ("PER", "Government"), ("GPE", "UrbanArea")],
+        "type string, subtype string",
+    )
+    out = attach_subtypes(mentions, spans, hier).collect()
+    assert len(out) == 1 and out[0]["subtype"] == "Politician"
+
+
+def test_subtype_vote_distrust_counts_distinct_subtypes(spark):
+    """ner.py:368-369: len(nertype) counts DISTINCT subtypes — a span with
+    11 distinct one-vote subtypes is distrusted; one subtype with 50 votes
+    is kept."""
+    rows = [("u", 0, 1, 2, f"S{i}") for i in range(11)]          # 11 distinct
+    rows += [("u", 0, 3, 4, "T")] * 50                            # hot but trusted
+    votes = spark.createDataFrame(
+        rows, "url string, sid int, tok_begin int, tok_end int, subtype string"
+    )
+    out = subtype_vote(votes).collect()
+    assert len(out) == 1
+    assert (out[0]["tok_begin"], out[0]["subtype"], out[0]["votes"]) == (3, "T", 50)
