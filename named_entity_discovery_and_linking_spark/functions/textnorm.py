@@ -40,6 +40,10 @@ _WS_RE = re.compile(r"[ \t\r\f\v]+")
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 # token = word chars (incl. unicode letters, digits, '-', '.', ''' inside) or single punct
 _TOKEN_RE = re.compile(
+    # PTB bracket escapes FIRST: the word branch cannot start with '-', so
+    # without the explicit alternative '-LRB-' would tokenize as '-','LRB','-'
+    # and the unescape map in tokenize_with_offsets could never fire
+    r"-L[RS]B-|-R[RS]B-|"
     r"\d{1,2}:\d{2}(?::\d{2})?|[^\W_]+(?:['\-.][^\W_]+)*|[^\w\s]", re.UNICODE
 )
 

@@ -35,6 +35,10 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     toks = lines.filter(F.trim("value") != "").withColumn(
         "parts", F.split(F.trim("value"), r"\s+")
     )
+    # lines with fewer than 6 columns ('-DOCSTART- O' boundaries, malformed
+    # rows) are dropped like blank lines — getItem would return NULLs that
+    # crash the scorer far from the offending input
+    toks = toks.filter(F.size("parts") >= 6)
     return toks.select(
         "sent_id",
         F.col("parts").getItem(0).alias("token_id"),
@@ -44,7 +48,7 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def mentions_to_conll(mentions: DataFrame, sentences: DataFrame | None = None) -> DataFrame:
+def mentions_to_conll(mentions: DataFrame) -> DataFrame:
     """Project a mentions table into per-token BIO rows for scoring
     (result2conll.py:4-22 direction).  Returns (url, sid, token_idx, word,
     bio) rows for NAM mentions; tokens outside mentions are not emitted
@@ -62,16 +66,24 @@ def mentions_to_conll(mentions: DataFrame, sentences: DataFrame | None = None) -
 
 
 def _phrases(tags: list[str]) -> set[tuple[int, int, str]]:
-    """BIO tags -> {(begin, end, type)} phrases, conlleval semantics."""
+    """BIO tags -> {(begin, end, type)} phrases, conlleval semantics:
+    a chunk starts on B-, on I- after O, AND on I- whose type differs from
+    the running chunk's (conll03eval's startOfChunk 'prevType != type'
+    rule) — [I-ORG, I-PER] is ORG(0,1) + PER(1,2), the PER token is not
+    swallowed."""
     out = set()
     start, cur = None, None
     for i, t in enumerate(tags + ["O"]):
-        if t.startswith("B-") or (t.startswith("I-") and cur is None):
+        if t.startswith("B-"):
             if cur is not None:
                 out.add((start, i, cur))
             start, cur = i, t[2:]
-        elif t.startswith("I-") and cur == t[2:]:
-            continue
+        elif t.startswith("I-"):
+            if cur is None:
+                start, cur = i, t[2:]
+            elif cur != t[2:]:
+                out.add((start, i, cur))
+                start, cur = i, t[2:]
         else:
             if cur is not None:
                 out.add((start, i, cur))

@@ -23,8 +23,12 @@ from __future__ import annotations
 import os
 
 # literal sets from gazetteer.py:25 (weapon_names), :36 (country_names),
-# :33 (location_names)
-WEAPON_NAMES = {"buk", "buk-telar", "9m38", "missile"}
+# :33 (location_names).  '9M38' keeps the reference's UPPERCASE: lookups
+# run over lowercased tokens, so the entry never matches — a reference bug
+# preserved bug-for-bug (lowercasing it here would emit WEA mentions the
+# reference never produces on real MH17 corpora; cf. the preserved
+# ontology typos, DEVIATIONS #13)
+WEAPON_NAMES = {"buk", "buk-telar", "9M38", "missile"}
 COUNTRY_NAMES = {"russia", "ukraine", "malaysia", "dutch", "netherland"}
 LOCATION_NAMES = {"euromaidan"}
 

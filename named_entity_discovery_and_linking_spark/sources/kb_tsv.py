@@ -22,7 +22,11 @@ def load_entities_tab(spark: SparkSession, path: str) -> DataFrame:
     Column positions per linking.py:46-68 (GEO info fields; WLL/APB info is
     collapsed into ``country`` as a single bio string, matching the fixture
     convention used by build_alias_table)."""
-    raw = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    # quote='': the reference raw-splits each line on tabs (linking.py:50);
+    # Spark's default quote='"' would treat a field STARTING with a double
+    # quote (GeoNames nicknames like "Gorky") as quoted, swallowing tabs and
+    # shifting every downstream column
+    raw = spark.read.csv(path, sep="\t", header=True, inferSchema=False, quote="")
     cols = raw.columns
     c = lambda i: F.col(cols[i])  # noqa: E731
     wll_info = F.concat_ws("\t", c(26), c(27), c(28)) if len(cols) > 28 else F.lit("")
@@ -41,8 +45,8 @@ def load_entities_tab(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_aliases_tab(spark: SparkSession, path: str) -> DataFrame:
-    """alternate_names.tab -> (eid, alias)."""
-    raw = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    """alternate_names.tab -> (eid, alias).  quote='' — see load_entities_tab."""
+    raw = spark.read.csv(path, sep="\t", header=True, inferSchema=False, quote="")
     cols = raw.columns
     return raw.select(F.col(cols[0]).alias("eid"), F.col(cols[1]).alias("alias"))
 
@@ -50,7 +54,7 @@ def load_aliases_tab(spark: SparkSession, path: str) -> DataFrame:
 def load_wiki_mapping(spark: SparkSession, path: str) -> DataFrame:
     """mapping_refkb2wiki.tab -> (eid, wiki_url), dropping 'None' urls
     (J8, linking.py:390-402)."""
-    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False)
+    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False, quote="")
     cols = raw.columns
     return raw.select(
         F.col(cols[0]).alias("eid"), F.col(cols[2]).alias("wiki_url")

@@ -76,10 +76,17 @@ def read_ltf(path: str):
     for seg in root[0][0]:
         begin = int(seg.attrib["start_char"])
         end = int(seg.attrib["end_char"])
-        words = [
-            (tok.text or "", int(tok.attrib["start_char"]), int(tok.attrib["end_char"]))
-            for tok in seg.findall("TOKEN")
-        ]
+        words = []
+        for tok in seg.findall("TOKEN"):
+            if not tok.text:
+                # an empty TOKEN whose offsets still advance would corrupt
+                # the overlap-rewind in _original_doc (the slice assumes
+                # len(doc) tracks the offsets); the reference crashes on
+                # word.word=None and its per-doc try/except skips the file
+                # (main.py:66-72) — raise so our per-file handler does too
+                raise ValueError(f"empty TOKEN text at {tok.attrib}")
+            words.append((tok.text, int(tok.attrib["start_char"]),
+                          int(tok.attrib["end_char"])))
         if not words:
             continue
         sents.append((begin, end, words))
@@ -107,7 +114,14 @@ def ltf_dir_to_pages(spark, in_dir: str, suffix: str = ".ltf.xml") -> DataFrame:
         for b in batches:
             rows = []
             for p in b["path"]:
-                doc, lang = read_ltf(p)
+                try:
+                    doc, lang = read_ltf(p)
+                except Exception:
+                    # malformed LTF (truncated XML, missing children,
+                    # non-integer offsets, empty tokens): the reference
+                    # catches per-document and skips (main.py:66-72) —
+                    # one bad file must not abort a corpus-scale job
+                    continue
                 rows.append((os.path.basename(p), None, None, doc,
                              lang if lang else "und"))
             yield pd.DataFrame(

@@ -142,3 +142,15 @@ def test_wordnet_classify_chain_without_nltk():
     assert classify(truck, sets) == ("VEH", "WheeledVehicle", "Truck")
     assert classify(weapon, sets) == ("WEA", "n/a", "n/a")
     assert classify(Syn("rock"), sets) == ("n/a", "n/a", "n/a")
+
+
+def test_weapon_9m38_keeps_reference_casing():
+    """gazetteer.py:25 stores '9M38' UPPERCASE while lookups lowercase the
+    mention — the entry is dead in the reference and must stay dead here
+    (bug-for-bug, like the DEVIATIONS #13 ontology typos)."""
+    from named_entity_discovery_and_linking_spark.sources.gazetteers import (
+        WEAPON_NAMES,
+    )
+
+    assert "9M38" in WEAPON_NAMES
+    assert "9m38" not in WEAPON_NAMES

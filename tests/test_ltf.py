@@ -94,3 +94,33 @@ def test_ltf_dir_to_pages_feeds_pipeline(spark, tmp_path):
     m = discover_mentions(pages)
     nams = {r["mention"] for r in m.collect() if r["category"] == "NAM"}
     assert "Viktor Marchenko" in nams and "Kyiv" in nams
+
+
+def test_ltf_dir_skips_malformed_files(spark, tmp_path):
+    """One corrupt LTF file must not abort the job: the reference's
+    per-document try/except skips it (main.py:66-72); good files still
+    parse.  Empty-text TOKENs count as malformed (they would corrupt the
+    overlap-rewind reconstruction; the reference crashes-and-skips)."""
+    good = tmp_path / "good.ltf.xml"
+    good.write_text(
+        '<?xml version="1.0"?><LCTL_TEXT lang="eng"><DOC id="d"><TEXT>'
+        '<SEG id="s1" start_char="0" end_char="10">'
+        '<ORIGINAL_TEXT>hello world</ORIGINAL_TEXT>'
+        '<TOKEN id="t1" start_char="0" end_char="4">hello</TOKEN>'
+        '<TOKEN id="t2" start_char="6" end_char="10">world</TOKEN>'
+        "</SEG></TEXT></DOC></LCTL_TEXT>"
+    )
+    (tmp_path / "trunc.ltf.xml").write_text("<?xml version='1.0'?><LCTL_TEXT lang=")
+    empty_tok = tmp_path / "emptytok.ltf.xml"
+    empty_tok.write_text(
+        '<?xml version="1.0"?><LCTL_TEXT lang="eng"><DOC id="d2"><TEXT>'
+        '<SEG id="s1" start_char="0" end_char="9">'
+        '<TOKEN id="t1" start_char="0" end_char="4"/>'
+        '<TOKEN id="t2" start_char="6" end_char="9">tail</TOKEN>'
+        "</SEG></TEXT></DOC></LCTL_TEXT>"
+    )
+    from named_entity_discovery_and_linking_spark.sources.ltf_xml import ltf_dir_to_pages
+
+    rows = {r["url"]: r for r in ltf_dir_to_pages(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"good.ltf.xml"}
+    assert rows["good.ltf.xml"]["text"] == "hello world;"

@@ -226,3 +226,38 @@ def test_ltf_cli_end_to_end_with_json_sink(spark, tmp_path):
     doc = json.loads((jdir / files[0]).read_text())
     assert isinstance(doc, list) and "inputSentence" in doc[0]
     assert (out_dir / "triples").exists()
+
+
+def test_phrases_type_changing_itag_starts_new_chunk():
+    """conll03eval startOfChunk: an I- tag whose type differs from the
+    running chunk STARTS a new chunk (prevType != type) — the first token
+    of the new phrase must not be swallowed."""
+    from named_entity_discovery_and_linking_spark.sources.conll import _phrases
+
+    assert _phrases(["I-ORG", "I-PER", "I-PER"]) == {(0, 1, "ORG"), (1, 3, "PER")}
+    assert _phrases(["B-ORG", "I-ORG", "I-PER"]) == {(0, 2, "ORG"), (2, 3, "PER")}
+    assert _phrases(["I-PER", "O", "I-PER"]) == {(0, 1, "PER"), (2, 3, "PER")}
+
+
+def test_kb_tab_quotes_are_literal(spark, tmp_path):
+    """The reference raw-splits tab lines (linking.py:50): a name field
+    STARTING with a double quote must stay literal — Spark's default CSV
+    quoting would swallow the following tabs and shift every column."""
+    from named_entity_discovery_and_linking_spark.sources.kb_tsv import (
+        load_aliases_tab,
+        load_entities_tab,
+    )
+
+    header = "\t".join(f"c{i}" for i in range(47))
+    row = ["GEO", "GPE", "E1", '"Gorky"'] + ["x"] * 43
+    row[8], row[12], row[46] = "PPL", "RU", "wiki:gorky"
+    p = tmp_path / "entities.tab"
+    p.write_text(header + "\n" + "\t".join(row) + "\n")
+    got = load_entities_tab(spark, str(p)).collect()[0]
+    assert got["name"] == '"Gorky"'
+    assert (got["country"], got["feature"], got["wiki"]) == ("RU", "PPL", "wiki:gorky")
+
+    a = tmp_path / "alt.tab"
+    a.write_text("eid\talias\nE1\t\"Nizhny\" Novgorod\n")
+    alias = load_aliases_tab(spark, str(a)).collect()[0]
+    assert alias["alias"] == '"Nizhny" Novgorod'

@@ -77,3 +77,21 @@ def test_tokenizer_offsets():
 def test_name_tokens():
     assert name_tokens("Donetsk  Oblast") == ["donetsk", "oblast"]
     assert name_tokens("T-34") == ["t", "34"]
+
+
+def test_tokenize_unescapes_ptb_brackets():
+    """document.py:84-91: '-LRB-' etc. must arrive as ONE token and unescape
+    — the word branch of the tokenizer cannot start with '-', so without an
+    explicit alternative the escape would shatter into '-','LRB','-' and the
+    unescape map could never fire."""
+    from named_entity_discovery_and_linking_spark.functions.textnorm import (
+        tokenize_with_offsets,
+    )
+
+    toks = tokenize_with_offsets("see -LRB- note -RRB- and -LSB- x -RSB-")
+    texts = [t[0] for t in toks]
+    assert "(" in texts and ")" in texts and "[" in texts and "]" in texts
+    assert "LRB" not in texts
+    # offsets still index the ORIGINAL string
+    lrb = toks[texts.index("(")]
+    assert lrb[1:] == (4, 9)
