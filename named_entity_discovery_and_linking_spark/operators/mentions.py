@@ -58,10 +58,9 @@ _DATE_WORDS = {
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _TIME_RE = re.compile(r"^\d{1,2}:\d{2}(:\d{2})?$")
 _NUM_RE = re.compile(r"^\d+(?:[.,]\d+)*$")
-_URLISH = ("http:", "https:", "://", "www.")
-
-_QUANTIFIERS = {"some", "many", "few", "several", "all", "most", "more", "less", "one"}
-_PRONOUNS = {"it", "he", "she", "they", "we", "i", "you", "who", "which", "them", "him"}
+# scheme markers exactly as dictionary.py:13-14 checks them ('www.' is NOT
+# in the reference's predicate)
+_URLISH = ("http:", "https:", "://")
 _DETS = {"the", "a", "an", "this", "that", "these", "those", "its", "his", "her", "their", "our"}
 
 
@@ -91,7 +90,9 @@ class TaggerConfig:
         for name in G.GAZ_ORG:
             phrases[tuple(name.split())] = ("ORG", None)
         for name in G.COUNTRIES:
-            phrases[tuple(name.split())] = ("GPE", None)
+            # gazetteer.py:84-85 returns the FULL fine type directly for
+            # country names (an unconditional early return, no gating)
+            phrases[tuple(name.split())] = ("GPE", "ldcOnt:GPE.Country.Country")
         for name in G.WEAPONS:
             phrases[tuple(name.split())] = ("WEA", None)
         for name in G.LOCATIONS:
@@ -634,22 +635,34 @@ def nam_nom_dedup_df(nam: DataFrame, nom: DataFrame, keys=("url", "char_begin", 
     collect; map-side combinable at any scale.
     """
     keys = list(keys)
-    nom_na = nom.filter(F.col("subtype").contains("n/a") | F.col("subtype").isNull())
-    nom_known = nom.join(nom_na.select(keys), keys, "left_anti")
-    kept_nam = nam.join(nom_known.select(keys), keys, "left_anti")
-    kept_nom = nom.join(nom_na.join(nam.select(keys), keys, "left_semi").select(keys), keys, "left_anti")
+    na_cond = F.col("subtype").contains("n/a") | F.col("subtype").isNull()
+    nom_known = nom.filter(~na_cond)
+    # drop a NAM iff a KNOWN-subtype NOM shares its key (main.py:95-96)
+    kept_nam = nam.join(nom_known.select(keys).distinct(), keys, "left_anti")
+    # drop a NOM ROW iff it is n/a-subtyped AND a NAM shares its key — the
+    # resolution is per ROW, not per key: a known-subtype NOM must survive
+    # even when an n/a sibling shares the same (doc, begin, text) (a
+    # key-level anti-join would delete both, contradicting the reference
+    # and this operator's own SQL oracle)
+    nam_keys = nam.select(keys).distinct().withColumn("_has_nam", F.lit(True))
+    kept_nom = (
+        nom.join(nam_keys, keys, "left")
+        .filter(F.col("_has_nam").isNull() | ~na_cond)
+        .drop("_has_nam")
+    )
     return kept_nam.withColumn("category", F.lit("NAM")).unionByName(
         kept_nom.withColumn("category", F.lit("NOM")), allowMissingColumns=True
     )
 
 
 def is_url(token: str) -> bool:
-    """F9 predicate (dictionary.py:8-23)."""
+    """F9 predicate (dictionary.py:8-23), char set verbatim: the reference
+    counts / \\ . = - < > ' " occurrences (NOT ?&#%_~ or ':')."""
     if len(token) > 30:
         return True
     if any(m in token for m in _URLISH):
         return True
-    urlish = sum(1 for ch in token if ch in "/:.?&=#%_-~")
+    urlish = sum(1 for ch in token if ch in "/\\.=-<>'\"")
     return urlish >= 5
 
 
@@ -694,13 +707,14 @@ def _sentence_units(url: str, html, text, cfg: TaggerConfig) -> list:
 
         doc = html_to_raw_text(html)
     sents = split_sentences(doc)
-    _docstr, spans = reconstruct_doc(sents)
+    docstr, spans = reconstruct_doc(sents)
     units = []
-    kept = sents[: len(spans)]
-    for sid, (sent_raw, (s_begin, _s_end)) in enumerate(zip(kept, spans)):
-        sent = sent_raw.replace("%20", "___")
-        if sent and sent[-1].isalnum():
-            sent = sent + ";"
+    for sid, (s_begin, s_end) in enumerate(spans):
+        # slice the reconstructed doc instead of re-applying the byte-level
+        # quirks (%20 -> ___, trailing ';'): reconstruct_doc is the SINGLE
+        # frozen spec of those transformations, and the slice is what
+        # guarantees offsets align with extract_text's document string
+        sent = docstr[s_begin:s_end]
         tokens = tokenize_with_offsets(sent)
         if not tokens:
             continue
@@ -717,10 +731,15 @@ def _assemble_rows(url, sid, sent, s_begin, tokens, lows, coarse, named, claimed
     minting.  Shared verbatim between the rule tagger and the batched model
     adapter so a model drop-in changes ONLY the NAM source."""
     rows = []
-    # F2: stopword NAM drop (ner.py:345-346)
+    # J6 title gate looks at the RAW tagger output (filler.py:38-41 scans
+    # ners for B-PER BEFORE any filtering), so compute it before F2/F5
+    has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
+    # F2: stopword NAM drop (ner.py:345-346) — the reference compares the
+    # RAW-case mention against the lowercase stopword set, so capitalized
+    # stopword spans ('The') SURVIVE; do not lowercase here
     named = [
         nm for nm in named
-        if " ".join(lows[nm[0]:nm[1]]) not in cfg.stopwords
+        if sent[tokens[nm[0]][1]:tokens[nm[1] - 1][2]] not in cfg.stopwords
     ]
     noms = _extract_nominals(tokens, claimed, cfg)
     # F5: NAM/NOM same (text, begin) -> drop NOM if its subtype is n/a,
@@ -737,7 +756,6 @@ def _assemble_rows(url, sid, sent, s_begin, tokens, lows, coarse, named, claimed
     named = [nm for k, nm in enumerate(named) if k not in drop_nam]
     noms = [nm for k, nm in enumerate(noms) if k not in drop_nom]
 
-    has_per = any(ct == "PER" for (_i, _j, ct, _f, _sc) in named)
     fils = _extract_fillers(sent, tokens, coarse, cfg, has_per, lows)
     fils = resolve_filler_overlaps(fils)
 
@@ -753,25 +771,38 @@ def _assemble_rows(url, sid, sent, s_begin, tokens, lows, coarse, named, claimed
     for i, j, ctype, fine, score in named:
         mtext = sent[tokens[i][1]:tokens[j - 1][2]]
         sub = "n/a"
-        if fine:  # J5 gate: gazetteer fine type must respect the hierarchy
+        if fine:
+            # the reference applies gazetteer fine types DIRECTLY as the
+            # mention type (ner.py:349-364 — no hierarchy gate); only the
+            # derived subtype COLUMN is hierarchy-gated (J5)
             parts = fine.split(":", 1)[1].split(".")
             if len(parts) > 1 and parts[1] in cfg.subtype_hierarchy.get(parts[0], set()):
                 sub = parts[1]
-            else:
-                fine = None
-        ont = fine or normalize_ldc_type(ctype, sub, "n/a", cfg.ont_ids)
-        ont = apply_nist_key(mtext, ont, cfg.nist_key)
+        if fine:
+            # ldc-prefixed gazetteer type: the reference's normalization
+            # loop `continue`s on startswith('ldc') BEFORE the nist_key
+            # block (main.py:187-188), so neither normalization nor the
+            # keyword override applies
+            ont = fine
+        else:
+            ont = normalize_ldc_type(ctype, sub, "n/a", cfg.ont_ids)
+            ont = apply_nist_key(mtext, ont, cfg.nist_key)
         rows.append(
+            # head_span = the LAST token's span (ner.py:337), matching the
+            # headword column — not the full mention span
             (url, sid, f"{url}#s{sid}#e{m_id}", "NAM", mtext, ont, ctype,
              sub, "n/a", s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
-             s_begin + tokens[i][1], s_begin + tokens[j - 1][2],
+             s_begin + tokens[j - 1][1], s_begin + tokens[j - 1][2],
              tokens[j - 1][0], score, sent)
         )
         m_id += 1
     for i, j, hidx, t, s, ss in noms:
         mtext = sent[tokens[i][1]:tokens[j - 1][2]]
-        ont = normalize_ldc_type(t, s, ss, cfg.ont_ids)
-        ont = apply_nist_key(mtext, ont, cfg.nist_key)
+        if t.startswith("ldc"):  # same main.py:187-188 gate as NAMs
+            ont = t
+        else:
+            ont = normalize_ldc_type(t, s, ss, cfg.ont_ids)
+            ont = apply_nist_key(mtext, ont, cfg.nist_key)
         rows.append(
             (url, sid, f"{url}#s{sid}#e{m_id}", "NOM", mtext, ont, t, s, ss,
              s_begin + tokens[i][1], s_begin + tokens[j - 1][2],

@@ -133,7 +133,8 @@ def tagger_config_from_gazetteer_dir(gaz_dir: str, wordnet_table: str | None = N
     add_phrases(maybe(load_name_list, "ru.txt") or set(), "GPE")
     add_phrases(maybe(load_name_list, "ua.txt") or set(), "GPE")
     add_phrases(WEAPON_NAMES, "WEA")
-    add_phrases(COUNTRY_NAMES, "GPE")
+    add_phrases(COUNTRY_NAMES, "GPE",
+                {n: "ldcOnt:GPE.Country.Country" for n in COUNTRY_NAMES})
     add_phrases(LOCATION_NAMES, "LOC")
 
     titles = maybe(load_name_list, "jobtitles.lst") or set()

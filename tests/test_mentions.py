@@ -75,10 +75,13 @@ def test_filler_overlap_keeps_longer():
 
 
 def test_is_url_predicate():
-    # F9 (dictionary.py:8-23)
+    # F9 (dictionary.py:8-23) — the reference's char set is exactly
+    # / \ . = - < > ' " ; '?', '&', '#', ':', '_' do NOT count
     assert is_url("http://a.b/c")
     assert is_url("x" * 31)
-    assert is_url("a/b:c.d?e=f#g")  # >=5 url-ish chars
+    assert is_url("a/b.c=d-e/f")          # 5 hits from the reference set
+    assert is_url("\"quoted\"<x>'y'")      # quotes/brackets count (6 hits)
+    assert not is_url("a:b?c&d#e_f~g")     # zero reference-set hits
     assert not is_url("hello")
 
 
