@@ -83,7 +83,10 @@ def test_stub_tagger_f1_on_reference_dev_doc():
 
     s = conll_f1(rows)
     # pinned EXACTLY (the stub is deterministic); reference BERT: F1 70.75.
-    assert round(s["precision"] * 100, 2) == 19.00
+    # Re-measured after the round-4 tagger parity fixes (raw-case stopword
+    # survival, verbatim is_url char set, unconditional country fine-type)
+    # which emit more NAM phrases on this doc: 109 found vs the prior 100.
+    assert round(s["precision"] * 100, 2) == 17.43
     assert round(s["recall"] * 100, 2) == 25.68
-    assert round(s["f1"] * 100, 2) == 21.84
-    assert (s["gold_phrases"], s["found_phrases"]) == (74, 100)
+    assert round(s["f1"] * 100, 2) == 20.77
+    assert (s["gold_phrases"], s["found_phrases"]) == (74, 109)
