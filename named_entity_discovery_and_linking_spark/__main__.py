@@ -48,6 +48,12 @@ def main(argv=None):
                          "and rewrite affected partitions (cross-batch "
                          "canonicalization; per-batch mentions/links persist "
                          "under <out>/_stream_state)")
+    ap.add_argument("--incremental-reconcile", dest="incremental_reconcile",
+                    action="store_true",
+                    help="with --reconcile-every: use the incremental "
+                         "reconciler (group-level state; per-pass reads "
+                         "pruned to new + assignment-changed batches — "
+                         "identical output to the full recompute)")
     ap.add_argument("--query", nargs=2, action="append", metavar=("NAME", "TYPE"),
                     help="one-shot linker probe (repeatable) — the --query REPL "
                          "of linking.py:753-759; prints every ranked candidate")
@@ -96,7 +102,9 @@ def main(argv=None):
             out = query_kb(spark, kb, aliases, [tuple(q) for q in args.query])
         else:
             out = audit_map_file(spark, kb, aliases, args.map_file)
-        rows = out.orderBy("q_name", "rank").collect()
+        from .plans.csr import guarded_collect
+
+        rows = guarded_collect(out.orderBy("q_name", "rank"), "the probe REPL")
         for r in rows:
             print("\t".join("none" if v is None else str(v) for v in r))
         if args.query:
@@ -154,6 +162,7 @@ def main(argv=None):
             state_dir=(os.path.join(args.out, "_stream_state")
                        if args.reconcile_every else None),
             reconcile_every=args.reconcile_every,
+            incremental=args.incremental_reconcile,
         )
         n = spark.read.parquet(os.path.join(args.out, "triples")).count()
         print(f"done (stream): {n} triples -> {args.out}")

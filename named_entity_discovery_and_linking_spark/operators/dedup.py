@@ -167,7 +167,11 @@ def minhash_lsh_pairs(
     FAMILY (same boilerplate, differing bodies, pairwise Jaccard near the
     threshold) is not — for such corpora either run ``exact_dedup`` first
     and size ``max_band_df`` above the expected family size, or prefer
-    ``max_df`` (which reweights rather than drops candidates)."""
+    ``max_df`` (which reweights rather than drops candidates).  The trade
+    is MEASURED in BENCH.md (r5, scripts/band_df_recall.py): a cap above
+    family size is free; 0.5x family drops only boilerplate-driven pairs
+    (recall 0.707 -> 0.241) while body-shared content near-dups keep
+    recall 1.000 at 3x fewer candidates."""
     rows = num_hashes // bands
     # localCheckpoint: the signature (12 md5 array scans per doc) would
     # otherwise be recomputed once per band branch and once per join side —

@@ -33,6 +33,25 @@ from ..operators.linking import link_mentions
 
 LANGS = ("en", "ru", "uk", "img")
 COMPONENT = "opera.entities.edl.refkb.xianyang"
+# Driver-collect convenience paths (xref_records, the probe REPL) refuse
+# result sets above this — the distributed sinks have no such bound.
+DRIVER_COLLECT_CAP = 100_000
+
+
+def guarded_collect(df: DataFrame, what: str, cap: int = DRIVER_COLLECT_CAP):
+    """Collect at most ``cap`` rows; raise if the frame exceeds it.
+
+    The limit is applied BEFORE the collect (``limit(cap+1)``), so the
+    driver never materializes more than cap+1 rows even when the guard
+    fires — a corpus-scale frame pointed at a convenience path fails fast
+    instead of OOMing the driver."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"{what} is a driver-collect convenience path and saw more than "
+            f"{cap:,} rows; use the distributed sink (run_csr with "
+            f"distributed=True) for corpus-scale inputs")
+    return rows
 # document/frame-id separator: a control char that cannot appear in a CSR
 # frame @id or a file basename
 _SEP = "\x1f"
@@ -211,9 +230,10 @@ def _records_from_rows(rows) -> dict:
 def xref_records(linked: DataFrame):
     """Driver-side {doc: {frame_id: [xref dicts]}} — SMALL inputs only (it
     collects the full link set).  The distributed sink (run_csr) groups by
-    doc on executors and never collects."""
+    doc on executors and never collects.  Guarded: refuses frames above
+    DRIVER_COLLECT_CAP rows so it cannot be pointed at a corpus."""
     out: dict = {}
-    for r in linked.collect():
+    for r in guarded_collect(linked, "xref_records"):
         out.setdefault(r["doc"], {}).setdefault(r["frame_id"], []).append({
             "@type": "db_reference",
             "component": COMPONENT,

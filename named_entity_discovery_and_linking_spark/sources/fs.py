@@ -21,16 +21,123 @@ trap where a module-global registry re-imports empty on the Python workers.
 
 from __future__ import annotations
 
+import itertools
 import os
 import posixpath
+import threading
+import time
+
+_tomb_counter = itertools.count()
 
 
-class LocalFS:
+class _PosixClaims:
+    """Claim (stage-lock) primitives over a POSIX-translated path.
+
+    Mixed into any backend whose ``_local(path)`` returns a real local path
+    (LocalFS, PrefixFS).  A genuine object-store adapter replaces these with
+    the store's conditional ops — create == PUT If-None-Match, break/release
+    == DELETE If-Match on the ETag observed at read time — and must document
+    where its guarantees are WEAKER than POSIX (e.g. S3 conditional writes
+    are per-key atomic but eventually consistent listings don't matter here;
+    stores without compare-and-delete can only offer best-effort breaking,
+    which the lineage layer tolerates: a lost claim recomputes idempotent
+    bucket overwrites, never corrupts).
+
+    ``break_claim_if`` is the race fix (ADVICE r4): a stale claim is broken
+    by RENAME to a unique tombstone, then verified — if the tombstone's
+    content is not the stale run_id we observed, another driver already
+    broke and re-acquired the claim between our read and our rename, and we
+    atomically restore it via ``os.link`` (fails-if-exists) instead of
+    deleting the new holder's live claim."""
+
+    def read_text(self, path: str) -> str | None:
+        """File content, or None if absent."""
+        try:
+            with open(self._local(path)) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_atomic(self, path: str, content: str) -> None:
+        """Publish ``content`` at ``path`` atomically (tmp + rename) — a
+        reader sees either the old content or the new, never a torn write.
+        Object-store analog: a single PUT (always atomic per key)."""
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp.{os.getpid()}.{threading.get_ident()}.{next(_tomb_counter)}"
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, p)
+
+    def rmtree(self, path: str) -> None:
+        """Recursively delete a directory (missing is fine).  Object-store
+        analog: prefix delete."""
+        import shutil
+
+        shutil.rmtree(self._local(path), ignore_errors=True)
+
+    def try_create_claim(self, path: str, content: str) -> bool:
+        """Atomic create-if-absent (O_CREAT|O_EXCL).  True on acquisition."""
+        try:
+            fd = os.open(self._local(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, content.encode())
+        finally:
+            os.close(fd)
+        return True
+
+    def read_claim(self, path: str):
+        """(content, mtime) of a live claim, or None if absent."""
+        p = self._local(path)
+        try:
+            st = os.stat(p)
+            with open(p) as f:
+                return f.read(), st.st_mtime
+        except FileNotFoundError:
+            return None
+
+    def touch_claim(self, path: str) -> None:
+        now = time.time()
+        os.utime(self._local(path), (now, now))
+
+    def break_claim_if(self, path: str, expected_content: str) -> bool:
+        """Compare-and-delete: remove the claim only if its content is still
+        ``expected_content``.  True if the claim is gone afterwards (broken
+        by us or already absent); False if a different (live) claim holds.
+        Worst case on the restore path — a third driver claimed while we
+        held the tombstone — the second holder's claim is lost and its
+        stage recomputes (idempotent), which the heartbeat's content check
+        detects; no claim belonging to a live holder is ever silently
+        deleted by THIS call."""
+        p = self._local(path)
+        tomb = f"{p}.break.{os.getpid()}.{threading.get_ident()}.{next(_tomb_counter)}"
+        try:
+            os.rename(p, tomb)
+        except FileNotFoundError:
+            return True  # already gone
+        with open(tomb) as f:
+            content = f.read()
+        if content == expected_content:
+            os.remove(tomb)
+            return True
+        try:
+            os.link(tomb, p)  # atomic restore-if-absent of the usurper's claim
+        except FileExistsError:
+            pass  # a third claim landed first; leave it — recompute-at-worst
+        os.remove(tomb)
+        return False
+
+
+class LocalFS(_PosixClaims):
     """Shared-POSIX-filesystem backend (the default; also ``file://``)."""
 
     @staticmethod
     def _strip(path: str) -> str:
         return path[7:] if path.startswith("file://") else path
+
+    _local = _strip
 
     def open(self, path: str, mode: str = "r", encoding: str | None = None):
         return open(self._strip(path), mode, encoding=encoding)
@@ -43,6 +150,17 @@ class LocalFS:
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(self._strip(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(self._strip(path))
+
+    def spark_path(self, path: str) -> str:
+        """The path Spark's Hadoop layer should use for this location
+        (identity for local paths)."""
+        return path
 
 
 _SCHEMES: dict[str, type] = {"": LocalFS, "file": LocalFS}
@@ -75,7 +193,7 @@ def get_filesystem(path: str):
         ) from None
 
 
-class PrefixFS:
+class PrefixFS(_PosixClaims):
     """Test/reference implementation of a non-local scheme: maps
     ``<scheme>://<rest>`` onto ``<root>/<rest>`` with POSIX joins.  Proves
     the sinks really dispatch through the abstraction — a bypassed ``open()``
@@ -109,3 +227,21 @@ class PrefixFS:
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(self._translate(path))
+
+    _local = _translate
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._translate(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(self._translate(path))
+
+    def try_create_claim(self, path: str, content: str) -> bool:
+        os.makedirs(os.path.dirname(self._translate(path)), exist_ok=True)
+        return super().try_create_claim(path, content)
+
+    def spark_path(self, path: str) -> str:
+        """PrefixFS is local-backed, so Spark reads/writes the backing dir
+        directly; a real object-store adapter returns the Hadoop-visible URL
+        (e.g. ``s3a://...``) here instead."""
+        return self._translate(path)

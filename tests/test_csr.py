@@ -286,3 +286,18 @@ def test_run_csr_special_char_filenames(spark, tmp_path):
         doc = json.load(f)
     by_id = {fr["@id"]: fr for fr in doc["frames"] if fr["@type"] == "entity_evidence"}
     assert by_id["e1"]["interp"]["xref"], "links were dropped for the spaced filename"
+
+
+def test_guarded_collect_scale_guard(spark):
+    """The driver-collect convenience paths refuse corpus-scale frames:
+    guarded_collect limits BEFORE collecting (never materializes more than
+    cap+1 rows on the driver) and raises past the cap (VERDICT r4 #8)."""
+    import pytest as _pytest
+
+    from named_entity_discovery_and_linking_spark.plans.csr import guarded_collect
+
+    small = spark.range(5)
+    assert len(guarded_collect(small, "test", cap=10)) == 5
+    big = spark.range(25)
+    with _pytest.raises(RuntimeError, match="driver-collect convenience"):
+        guarded_collect(big, "test", cap=10)

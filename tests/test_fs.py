@@ -54,3 +54,33 @@ def test_mention_json_sink_nonlocal_scheme(spark, tmp_path):
     for f in files:
         with open(os.path.join(got_dir, f)) as a, open(os.path.join(local, f)) as b:
             assert a.read() == b.read()
+
+
+def test_break_claim_if_preserves_reacquired_claim(tmp_path):
+    """ADVICE r4 race fix: breaking a stale claim is a COMPARE-and-delete.
+    If another driver already broke and re-acquired the claim between our
+    read and our break, the new holder's claim survives."""
+    fs = LocalFS()
+    claim = str(tmp_path / "_claim_stage")
+    assert fs.try_create_claim(claim, "new-holder")
+    # we observed the OLD (stale) content before the usurper re-acquired
+    assert fs.break_claim_if(claim, "old-stale-run") is False
+    assert fs.read_claim(claim)[0] == "new-holder"
+    # the rightful compare succeeds and removes
+    assert fs.break_claim_if(claim, "new-holder") is True
+    assert fs.read_claim(claim) is None
+    # absent claim counts as already-gone
+    assert fs.break_claim_if(claim, "anything") is True
+
+
+def test_prefixfs_claim_and_text_primitives(tmp_path):
+    fs = PrefixFS("clm", str(tmp_path / "root"))
+    assert fs.try_create_claim("clm://lin/_claim_s", "r1")
+    assert not fs.try_create_claim("clm://lin/_claim_s", "r2")
+    content, mtime = fs.read_claim("clm://lin/_claim_s")
+    assert content == "r1" and mtime > 0
+    fs.touch_claim("clm://lin/_claim_s")
+    fs.write_atomic("clm://lin/_CURRENT", "7")
+    assert fs.read_text("clm://lin/_CURRENT") == "7"
+    assert fs.break_claim_if("clm://lin/_claim_s", "r1") is True
+    assert fs.read_claim("clm://lin/_claim_s") is None
