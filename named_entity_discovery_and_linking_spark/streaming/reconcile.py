@@ -101,11 +101,22 @@ def _read_state(spark: SparkSession, state_dir: str, version: int):
 
 
 def _persist_state(state: dict, state_dir: str, version: int) -> None:
+    # the 8 single-file writes are independent jobs — submit them
+    # concurrently so the pass pays max(write) not sum(write) of local-mode
+    # per-job latency (Spark job submission is thread-safe; the scheduler
+    # interleaves them across cores)
+    from concurrent.futures import ThreadPoolExecutor
+
     fs = get_filesystem(state_dir)
     vdir = fs.join(_state_root(state_dir), f"v={version}")
-    for name, df in state.items():
+
+    def write(item):
+        name, df = item
         df.coalesce(1).write.mode("overwrite").parquet(
             fs.spark_path(fs.join(vdir, name)))
+
+    with ThreadPoolExecutor(max_workers=len(state)) as ex:
+        list(ex.map(write, state.items()))
     # atomic publish: readers see either v=K or v=K+1, never a torn state
     fs.write_atomic(fs.join(_state_root(state_dir), "_CURRENT"), str(version))
 
@@ -213,7 +224,8 @@ def _assign_entities(state: dict) -> DataFrame:
     """(name_norm, coarse_type, eid): each g1 group's entity under the
     CURRENT global closure — the only thing a mention's sameAs row depends
     on.  Mirrors cluster_mentions + canonical_entities at group grain."""
-    groups = state["groups"].localCheckpoint()
+    # caller already checkpointed the merged state — no second copy needed
+    groups = state["groups"]
     edges = (
         state["gedges"]
         .join(groups, ["name_norm", "coarse_type"])
@@ -301,9 +313,11 @@ def reconcile_triples_incremental(
     else:
         merged = {k: state[k] for k in
                   ("groups", "g2", "gedges", "votes", "texts", "group_batches")}
-    # materialize the merged state once: assign + persist + change-detection
-    # all fan out from these frames
-    merged = {k: v.localCheckpoint() for k, v in merged.items()}
+    # checkpoint the merged state once: assign + persist + change-detection
+    # all fan out from these frames.  Lazy (eager=False) so materialization
+    # rides the first consuming job instead of paying six dedicated
+    # local-mode job submissions up front
+    merged = {k: v.localCheckpoint(eager=False) for k, v in merged.items()}
 
     assign = _assign_entities(merged).localCheckpoint()
 
