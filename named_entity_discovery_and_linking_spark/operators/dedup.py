@@ -241,3 +241,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         term = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return sums.select("doc", sim.cast("bigint").alias("simhash"))
+
+
+def dedup_clusters(
+    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, max_df: int | None = None,
+) -> DataFrame:
+    """The full dedup DECISION, not just the pair list: exact-duplicate star
+    edges (doc -> min-id rep of its md5 group) union near-duplicate Jaccard
+    pair edges -> connected components -> one canonical survivor per
+    cluster.  Returns (doc_id, cluster_id, is_canonical, cluster_size) for
+    EVERY input document; singletons are their own cluster of size 1, and
+    the survivor set is exactly ``is_canonical``.
+
+    Transitivity is the point: pairwise output alone cannot decide that
+    A~B, B~C (but not A~C) must share ONE survivor — the closure does.
+    Scale shape: edges come from the bounded pair generators (the shingle
+    document-frequency cap applies via ``max_df``; exact edges are a
+    hash-groupBy star, never group^2 pairs), and the CC is the same
+    pointer-jumping loop the KG flagship uses (one job per O(log n) round)
+    — duplicate families are shallow, so it converges in ~2 rounds.
+    Beyond-reference operator (training-data-pipeline section): the
+    reference dedups mentions (ner.py NAM/NOM passes), never documents.
+    """
+    from .canonicalize import connected_components
+
+    docs = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    rep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc").alias("rep"))
+    exact_edges = (
+        docs.select(F.md5("text").alias("h"), "doc")
+        .join(rep, "h")
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("doc").alias("src"), F.col("rep").alias("dst"))
+    )
+    near_edges = ngram_jaccard_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col, n=n,
+        max_df=max_df,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(exact_edges.unionByName(near_edges))
+    labeled = (
+        docs.join(comp.withColumnRenamed("mid", "doc"), "doc", "left")
+        .select("doc", F.coalesce("cluster_id", F.col("doc")).alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col("doc").alias(id_col),
+        "cluster_id",
+        (F.col("doc") == F.col("cluster_id")).alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    )

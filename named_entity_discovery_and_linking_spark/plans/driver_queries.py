@@ -866,6 +866,13 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup decision (exact + Jaccard edges -> CC -> canonical
+    survivor per cluster); the DuckDB oracle closes the same edge set with
+    a recursive CTE, so the CC labels are value-checked end-to-end."""
+    return D.dedup_clusters(_docs(spark, sf_dir), threshold=0.6)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1114,6 +1121,31 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6
 _JACCARD_CAPPED_SQL = f"""
 WITH {_shingle_ctes(max_df=4)}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3
+"""
+
+
+# dedup_clusters: same exact-rep + jaccard edge set as the Spark operator,
+# closed transitively with a recursive CTE (min reachable id == the CC's
+# min-label), then one survivor per component
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+rep AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY md5(text)),
+exact_e AS (SELECT d.doc_id AS doc_a, r.rep AS doc_b
+            FROM documents d JOIN rep r ON md5(d.text) = r.h
+            WHERE d.doc_id <> r.rep),
+pairs AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact_e),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
 """
 
 
@@ -1446,6 +1478,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1551,6 +1584,7 @@ ORACLES = {
     "dedup_jaccard": _JACCARD_SQL,
     "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_minhash": _minhash_sql(),
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "simhash": _simhash_sql(),
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),

@@ -362,3 +362,40 @@ def test_ivf_probe_prunes_candidates(spark):
     got = {(r["q_id"], r["n_id"]) for r in approx}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C by Jaccard without A~C still collapse to ONE cluster
+    (the closure, not the pair list), exact dups join by star edge, and
+    singletons survive as their own canonical cluster of size 1."""
+    from named_entity_discovery_and_linking_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (10, base),                                  # chain: A
+        (11, base.replace("w0", "x0")),              # B ~ A (9/11 = 0.818...)
+        (12, base.replace("w0", "x0").replace("w9", "x9")),  # C ~ B, not ~ A
+        (13, "totally unrelated text with nothing shared here at all"),
+        (20, "same bytes twice"),                    # exact pair
+        (21, "same bytes twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(2)
+    out = {r["doc_id"]: r for r in dedup_clusters(df, threshold=0.6).collect()}
+
+    assert len(out) == len(rows)  # every input doc labeled
+    # A/B share 7 of 9+8-7=... shingle jaccard must link A-B and B-C; check
+    # the chain collapsed transitively
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == out[12]["cluster_id"] == 10
+    assert out[10]["is_canonical"] and not out[11]["is_canonical"]
+    assert out[12]["cluster_size"] == 3
+    # exact dups via the md5 star edge
+    assert out[20]["cluster_id"] == out[21]["cluster_id"] == 20
+    assert out[21]["cluster_size"] == 2 and out[20]["is_canonical"]
+    # singleton: own id, canonical, size 1
+    assert out[13]["cluster_id"] == 13 and out[13]["is_canonical"]
+    assert out[13]["cluster_size"] == 1
+    # the survivor set is exactly the is_canonical rows: one per cluster
+    canon = [d for d, r in out.items() if r["is_canonical"]]
+    assert sorted(canon) == [10, 13, 20]

@@ -1,15 +1,28 @@
 """Guard against stale round-report numbers in the docs (judge r3 #8:
 BASELINE.md carried round-1 counts two rounds running).
 
-The rule: any 'N/N driver queries' claim in BASELINE.md must match the
-NEWEST CORRECTNESS_r*.json — the file the driver actually wrote."""
+Two rules, each pinned to a live source of truth rather than a hand-typed
+number:
+
+1. Any 'N/N driver queries' claim in BASELINE.md must match the CURRENT
+   query registry (``__spark_entry__.queries()``) — the set the driver
+   will actually run.  Comparing against the registry instead of the last
+   CORRECTNESS artifact means adding a query mid-round updates the
+   requirement immediately (the artifact lags a round by construction:
+   the driver writes it AFTER the snapshot).
+2. The NEWEST CORRECTNESS_r*.json must itself be all-green — if the last
+   driver run recorded a red query, the doc's 'oracle-green' language is
+   a stale claim regardless of counts.
+"""
 
 import glob
 import json
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def _latest_correctness():
@@ -19,23 +32,29 @@ def _latest_correctness():
         return json.load(f), os.path.basename(files[-1])
 
 
-def test_baseline_md_driver_query_count_is_current():
-    rec, fname = _latest_correctness()
-    total = len(rec)
-    green = sum(
-        1 for v in rec.values()
-        if v.get("rows_match") and v.get("schema_match")
-        and (v.get("hash_match") is not False)
-    )
+def test_baseline_md_driver_query_count_matches_registry():
+    import __spark_entry__ as entry_mod
+
+    total = len(entry_mod.queries())
     with open(os.path.join(REPO, "BASELINE.md")) as f:
         text = f.read()
     claims = re.findall(r"(\d+)/(\d+) driver queries", text)
     assert claims, "BASELINE.md no longer states the driver-query gate"
     for got_green, got_total in claims:
-        assert (int(got_green), int(got_total)) == (green, total), (
+        assert (int(got_green), int(got_total)) == (total, total), (
             f"BASELINE.md claims {got_green}/{got_total} driver queries but "
-            f"{fname} records {green}/{total} — refresh the doc"
+            f"the registry ships {total} — refresh the doc"
         )
+
+
+def test_latest_correctness_artifact_is_all_green():
+    rec, fname = _latest_correctness()
+    red = [
+        k for k, v in rec.items()
+        if not (v.get("rows_match") and v.get("schema_match")
+                and (v.get("hash_match") is not False))
+    ]
+    assert not red, f"{fname} records red queries: {red}"
 
 
 def test_baseline_md_has_no_orphan_pytest_count():
