@@ -278,3 +278,41 @@ def ivf_topk(emb: DataFrame, query_ids: list, k: int = 3, n_cells: int | None = 
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cos", "rnk")
     )
+
+
+def semdedup_clusters(
+    emb: DataFrame, threshold: float = 0.9, nbits: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", target_bucket: int = 64,
+) -> DataFrame:
+    """Semantic dedup DECISION over an embedding column (the SemDeDup
+    recipe): near-dup pairs from ``embedding_near_dup_pairs`` (sign-LSH
+    bucket candidates, exact cosine verify) closed transitively with the
+    pointer-jumping connected-components loop, then one min-id survivor
+    per semantic family.  Returns (vec_id, cluster_id, is_canonical,
+    cluster_size) for EVERY input vector — the survivor set is exactly
+    ``is_canonical``, mirroring dedup.dedup_clusters for text.
+
+    Scale shape: candidates are bucket equi-joins (never corpus x corpus),
+    components are shallow duplicate families (CC converges in ~2 rounds),
+    and the label map is a small join back to the corpus — the same plan
+    skeleton as the proven text-side dedup_clusters."""
+    from .canonicalize import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=threshold, nbits=nbits, id_col=id_col,
+        vec_col=vec_col, target_bucket=target_bucket,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    labeled = (
+        emb.select(F.col(id_col).alias("vid"))
+        .join(comp.withColumnRenamed("mid", "vid"), "vid", "left")
+        .select("vid", F.coalesce("cluster_id", F.col("vid")).alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col("vid").alias(id_col),
+        "cluster_id",
+        (F.col("vid") == F.col("cluster_id")).alias("is_canonical"),
+        F.count("*").over(w).alias("cluster_size"),
+    )

@@ -97,3 +97,66 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
     fp = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v) % FINGERPRINT_MOD
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# PII patterns: simple classes + bounded quantifiers only, so Java regex
+# (Spark) and RE2 (DuckDB oracle) agree on every match.  No backrefs, no
+# lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d(?:[\- ]?\d){7,14}"
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4s, and phone-like digit runs — the standard
+    pre-training scrub pass.  Counts are taken on the PROGRESSIVELY
+    scrubbed text (emails on raw, IPs after email redaction, phones after
+    IP redaction) so a digit run inside an already-redacted span is never
+    double-counted; the replace chain mirrors the same order.  Pure Column
+    regexp expressions — whole-stage codegen, one scan, no shuffle.
+    Returns (id, text_clean, n_emails, n_ips, n_phones)."""
+    t0 = F.col(text_col)
+    n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_ph = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col), t3.alias("text_clean"),
+        n_em.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ips"),
+        n_ph.cast("bigint").alias("n_phones"),
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText family of
+    repetition filters, adapted to n-grams since web text arrives as one
+    line after extraction): duplicate-n-gram fraction (1 - distinct/total)
+    and the share of the single most frequent n-gram.  Explode + two-level
+    groupBy — partial aggregation is map-side, the shuffle carries one row
+    per (doc, distinct gram), same linear shape as simhash.
+    Returns (id, total_ngrams, distinct_ngrams, dup_ngram_frac,
+    top_ngram_frac)."""
+    from .dedup import shingles_col
+
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(text_col, n)).alias("g"),
+    )
+    cnt = g.groupBy("doc", "g").agg(F.count("*").alias("cnt"))
+    return (
+        cnt.groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+            F.max("cnt").alias("maxc"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "total_ngrams", "distinct_ngrams",
+            F.round(1 - F.col("distinct_ngrams") / F.col("total_ngrams"), 6).alias("dup_ngram_frac"),
+            F.round(F.col("maxc") / F.col("total_ngrams"), 6).alias("top_ngram_frac"),
+        )
+    )

@@ -877,6 +877,26 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    return T.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """The synthetic corpus carries no PII, so the driver-level check pins
+    the pass-through path (counts 0, text_clean == text); the planted-PII
+    semantics are pinned by test_dedup_similarity."""
+    return T.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_semdedup_clusters(spark, sf_dir):
+    """Threshold 0.4 for the same reason as embedding_near_dups: the
+    fixture vectors are near-random, real corpora use 0.9+."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.semdedup_clusters(emb, threshold=0.4, nbits=None)
+
+
 def q_lang_id(spark, sf_dir):
     return T.lang_id(_docs(spark, sf_dir))
 
@@ -950,6 +970,35 @@ b AS (
 """.strip()
 
 
+_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+    THEN list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])
+    ELSE [array_to_string(ts, ' ')] END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       count(*) AS distinct_ngrams,
+       round(1 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_ngram_frac,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_ngram_frac
+FROM c GROUP BY doc_id
+"""
+
+# same progressive count-then-replace chain as textstats.pii_scrub; RE2
+# ('g' flag) and Java regex agree on these simple-class patterns
+_PII_SQL = (
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(text, '" + T.PII_EMAIL_RE + "', '<EMAIL>', 'g'), "
+    "'" + T.PII_IPV4_RE + "', '<IP>', 'g'), '" + T.PII_PHONE_RE + "', '<PHONE>', 'g') AS text_clean, "
+    "len(regexp_extract_all(text, '" + T.PII_EMAIL_RE + "')) AS n_emails, "
+    "len(regexp_extract_all(regexp_replace(text, '" + T.PII_EMAIL_RE + "', '<EMAIL>', 'g'), "
+    "'" + T.PII_IPV4_RE + "')) AS n_ips, "
+    "len(regexp_extract_all(regexp_replace(regexp_replace(text, '" + T.PII_EMAIL_RE + "', '<EMAIL>', 'g'), "
+    "'" + T.PII_IPV4_RE + "', '<IP>', 'g'), '" + T.PII_PHONE_RE + "')) AS n_phones "
+    "FROM documents"
+)
+
 _EMB_NEAR_DUP_SQL = f"""
 WITH {_ADAPTIVE_BUCKET_CTES}
 SELECT x.vid AS id_a, y.vid AS id_b,
@@ -958,6 +1007,27 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
 WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4
 """
 
+
+# semdedup_clusters: the embedding near-dup edge set closed with a
+# recursive CTE, min reachable id == the CC label (mirrors _DEDUP_CLUSTERS_SQL)
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE {_ADAPTIVE_BUCKET_CTES},
+pr AS (
+  SELECT x.vid AS id_a, y.vid AS id_b
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
+  WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
 
 _ANN_LSH_ADAPTIVE_SQL = f"""
 WITH {_ADAPTIVE_BUCKET_CTES},
@@ -1479,6 +1549,9 @@ QUERIES = {
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "semdedup_clusters": q_semdedup_clusters,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1585,6 +1658,9 @@ ORACLES = {
     "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "semdedup_clusters": _SEMDEDUP_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "pii_scrub": _PII_SQL,
     "simhash": _simhash_sql(),
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),

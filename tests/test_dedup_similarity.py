@@ -399,3 +399,67 @@ def test_dedup_clusters_transitive_chain(spark):
     # the survivor set is exactly the is_canonical rows: one per cluster
     canon = [d for d, r in out.items() if r["is_canonical"]]
     assert sorted(canon) == [10, 13, 20]
+
+
+def test_pii_scrub_planted(spark):
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 10.0.255.3 now"),
+        (2, "call +1 555 123 4567 today"),
+        (3, "clean text with no identifiers at all"),
+        (4, "two mails a@b.io c@d.org and ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1 and out[1]["n_phones"] == 0
+    assert out[1]["text_clean"] == "contact <EMAIL> or <IP> now"
+    assert out[2]["n_phones"] == 1 and out[2]["text_clean"] == "call <PHONE> today"
+    assert out[3]["text_clean"] == rows[2][1]  # untouched passthrough
+    assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+    assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
+    assert out[4]["text_clean"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_repetition_stats_planted(spark):
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "w"),             # single token -> degenerate 1-gram doc
+        (3, "x y z q"),       # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert out[1]["total_ngrams"] == 5 and out[1]["distinct_ngrams"] == 2
+    assert out[1]["dup_ngram_frac"] == 0.6 and out[1]["top_ngram_frac"] == 0.6
+    assert out[2]["total_ngrams"] == 1 and out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == 0.0 and out[3]["top_ngram_frac"] == 0.333333
+
+
+def test_semdedup_clusters_transitive(spark):
+    """A~B and B~C at cos>=0.9 without A~C collapse transitively; a far
+    vector stays a singleton.  All vectors sign-positive so they share one
+    LSH bucket — the test pins the closure, not bucket recall."""
+    import math
+
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        semdedup_clusters,
+    )
+
+    def v(deg):
+        t = math.radians(deg)
+        return [math.cos(t), math.sin(t), 1e-4, 1e-4]
+
+    rows = [(10, v(0)), (11, v(25)), (12, v(50)), (30, v(85))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup_clusters(df, threshold=0.9).collect()}
+    assert len(out) == 4
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == out[12]["cluster_id"] == 10
+    assert out[12]["cluster_size"] == 3 and out[10]["is_canonical"]
+    assert out[30]["cluster_id"] == 30 and out[30]["is_canonical"]
+    assert out[30]["cluster_size"] == 1
