@@ -77,6 +77,45 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def gopher_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_words: int = 20, max_words: int = 80,
+    min_mean_len: int = 3, max_mean_len: int = 10,
+    min_stop_hits: int = 2, min_distinct_pct: int = 40,
+) -> DataFrame:
+    """Composite quality-filter DECISION (the Gopher/MassiveText rule family):
+    word-count bounds, mean-word-length bounds, minimum stopword evidence,
+    and a minimum distinct-word fraction (the repetition proxy that survives
+    single-line web text).  This is the step the scalar signals
+    (:func:`quality_score`, :func:`repetition_stats`) exist to feed — the
+    keep/drop bit a curation pipeline actually acts on.
+
+    Every criterion is an INTEGER comparison (mean length via cross
+    multiplication: min*n <= word_chars <= max*n; distinct fraction via
+    distinct*100 >= n*pct), so the DuckDB oracle matches bit-for-bit with no
+    float-rounding hazards.  Pure Column expressions: one scan, no shuffle,
+    whole-stage codegen — at 100 TB this is a map-only pass whose predicates
+    Parquet/Iceberg can pushdown-prune on after materialization.
+    Returns (id, n_words, ok_words, ok_mean_len, ok_stop, ok_distinct, keep).
+    """
+    ts = _tokens(text_col)
+    n_tok = F.size(ts)
+    word_chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_hits = F.size(F.filter(ts, lambda t: F.array_contains(en, t)))
+    n_distinct = F.size(F.array_distinct(ts))
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_mean_len = (word_chars >= min_mean_len * n_tok) & (word_chars <= max_mean_len * n_tok)
+    ok_stop = stop_hits >= min_stop_hits
+    ok_distinct = n_distinct * 100 >= n_tok * min_distinct_pct
+    return df.select(
+        F.col(id_col), n_tok.alias("n_words"),
+        ok_words.alias("ok_words"), ok_mean_len.alias("ok_mean_len"),
+        ok_stop.alias("ok_stop"), ok_distinct.alias("ok_distinct"),
+        (ok_words & ok_mean_len & ok_stop & ok_distinct).alias("keep"),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_tokens, n_chars, n_distinct): the cheap curation counters."""
     ts = _tokens(text_col)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash_sql, seeded_hash_sql
 from ..operators import dedup as D
+from ..operators import sampling as SM
 from ..operators import similarity as S
 from ..operators import textstats as T
 from ..operators.textstats import LANG_PROFILES
@@ -913,6 +914,27 @@ def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Default thresholds (20-80 words, mean len 3-10, >=2 en stopwords,
+    >=40% distinct words) genuinely mix keep/drop on the fixture corpus
+    (words 10-99, distinct fraction 0.31-0.8, 5 languages), so every
+    criterion's both branches are value-checked."""
+    return T.gopher_filter(_docs(spark, sf_dir))
+
+
+def q_hash_sample(spark, sf_dir):
+    return SM.hash_sample(_docs(spark, sf_dir), rate=0.25)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Rates cover every branch shape: a listed 100% stratum, two graded
+    ones, and the default fall-through for the two unlisted languages."""
+    return SM.stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "zh": 1.0, "de": 0.1},
+        strata_col="lang", default_rate=0.05,
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1303,6 +1325,48 @@ FROM tok GROUP BY doc_id
 """
 
 
+def _gopher_sql() -> str:
+    en = _sql_list(EN_STOP)
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+c AS (
+  SELECT doc_id, len(ts) AS n, len(replace(text, ' ', '')) AS wc,
+         len(list_filter(ts, x -> x IN ({en}))) AS stop_hits,
+         len(list_distinct(ts)) AS nd
+  FROM t
+)
+SELECT doc_id, n AS n_words,
+  (n >= 20 AND n <= 80) AS ok_words,
+  (wc >= 3 * n AND wc <= 10 * n) AS ok_mean_len,
+  (stop_hits >= 2) AS ok_stop,
+  (nd * 100 >= n * 40) AS ok_distinct,
+  ((n >= 20 AND n <= 80) AND (wc >= 3 * n AND wc <= 10 * n)
+   AND stop_hits >= 2 AND nd * 100 >= n * 40) AS keep
+FROM c
+"""
+
+
+def _sample_bucket_sql(seed: int = 11) -> str:
+    h = seeded_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"{h} % {SM.RESOLUTION}"
+
+
+def _hash_sample_sql() -> str:
+    return (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"WHERE {_sample_bucket_sql()} < 250000"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    return (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"WHERE {_sample_bucket_sql()} < "
+        "CASE lang WHEN 'de' THEN 100000 WHEN 'en' THEN 500000 "
+        "WHEN 'zh' THEN 1000000 ELSE 50000 END"
+    )
+
+
 _ANN_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -1557,6 +1621,9 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
+    "gopher_filter": q_gopher_filter,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
@@ -1669,6 +1736,9 @@ ORACLES = {
         "len(list_distinct(string_split(text,' '))) AS n_distinct FROM documents"
     ),
     "fingerprint": _fingerprint_sql(),
+    "gopher_filter": _gopher_sql(),
+    "hash_sample": _hash_sample_sql(),
+    "stratified_sample": _stratified_sample_sql(),
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,

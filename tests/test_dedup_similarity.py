@@ -463,3 +463,82 @@ def test_semdedup_clusters_transitive(spark):
     assert out[12]["cluster_size"] == 3 and out[10]["is_canonical"]
     assert out[30]["cluster_id"] == 30 and out[30]["is_canonical"]
     assert out[30]["cluster_size"] == 1
+
+
+def test_gopher_filter_each_criterion(spark):
+    """One planted doc per failure mode; flags are independent and keep is
+    their conjunction."""
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        gopher_filter,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and the small cat"
+    rows = [
+        (1, good),
+        (2, "too short text"),                                   # < min_words
+        (3, " ".join(["wordy"] * 30)),                           # no stopwords, 1 distinct
+        (4, " ".join(["extraordinarily"] * 10 + ["the"] * 15)),  # mean len 15*10+3*15/25 > 10? -> check flag only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df, min_words=5, max_words=80).collect()}
+    assert out[1]["keep"] and all(out[1][c] for c in ("ok_words", "ok_mean_len", "ok_stop", "ok_distinct"))
+    assert not out[2]["ok_words"] and not out[2]["keep"]
+    assert not out[3]["ok_stop"] and not out[3]["ok_distinct"] and not out[3]["keep"]
+    # doc 4: word_chars = 10*15 + 15*3 = 195, n=25 -> mean 7.8 -> ok; distinct 2/25 -> fails
+    assert out[4]["ok_mean_len"] and not out[4]["ok_distinct"]
+
+
+def test_gopher_filter_mean_len_bounds(spark):
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        gopher_filter,
+    )
+
+    rows = [
+        (1, " ".join(["supercalifragilistic"] * 6)),  # mean 20 > max 10
+        (2, " ".join(["a", "b", "c", "d", "e", "f"])),  # mean 1 < min 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_filter(df, min_words=3).collect()}
+    assert not out[1]["ok_mean_len"] and not out[2]["ok_mean_len"]
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    from named_entity_discovery_and_linking_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept1 = {r["doc_id"] for r in hash_sample(df.repartition(1), 0.3).collect()}
+    kept8 = {r["doc_id"] for r in hash_sample(df.repartition(8), 0.3).collect()}
+    assert kept1 == kept8 and kept1  # same decision under any partitioning
+    # rate is honored to a few percent at n=2000
+    assert 0.25 < len(kept1) / 2000 < 0.35
+    assert len({r["doc_id"] for r in hash_sample(df, 1.0).collect()}) == 2000
+    assert hash_sample(df, 0.0).count() == 0
+    # nested property: a lower-rate sample with the same seed is a subset,
+    # so graded quality tiers carve consistent nested corpora
+    kept_small = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
+    assert kept_small < kept1
+
+
+def test_stratified_sample_rates_and_default(spark):
+    from named_entity_discovery_and_linking_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "zh")
+         .otherwise("fr").alias("lang"),
+    )
+    out = stratified_sample(df, {"en": 0.5, "zh": 1.0}, default_rate=0.0)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("zh") == 1000       # 100% stratum keeps everything
+    assert "fr" not in by_lang             # default 0 drops unlisted strata
+    assert 400 < by_lang.get("en", 0) < 600
+    # the en stratum decision equals a plain hash_sample at that rate:
+    # stratification changes thresholds, never the per-key hash
+    en_only = df.filter(F.col("lang") == "en")
+    assert ({r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+            == {r["doc_id"] for r in hash_sample(en_only, 0.5).collect()})
