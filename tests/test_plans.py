@@ -144,3 +144,25 @@ def test_whole_stage_codegen_on_agg(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "* HashAggregate" in plan and "* ColumnarToRow" in plan
+
+
+def test_sampling_and_quality_filter_are_map_only(spark, sf_docs):
+    """The curation decision ops must stay single-stage: a filter/project
+    in one WholeStageCodegen span over the scan — no Exchange, no Python
+    stage.  (Pins the 100-TB property: these run at scan bandwidth.)"""
+    from named_entity_discovery_and_linking_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        gopher_filter,
+    )
+
+    docs = spark.read.parquet(sf_docs).withColumnRenamed("url", "doc_id")
+    for df in (
+        stratified_sample(docs, {"eng": 0.5}, default_rate=0.1),
+        gopher_filter(docs),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython / mapInPandas
+        assert "codegen id" in plan  # formatted-mode whole-stage-codegen marker
