@@ -116,6 +116,27 @@ def gopher_filter(
     )
 
 
+def curation_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    strata_col: str = "lang", **gopher_kwargs) -> DataFrame:
+    """Corpus-level curation observability: per (stratum, keep-decision),
+    how many documents and tokens the :func:`gopher_filter` decision keeps
+    and drops — the summary table an operator reads before committing a
+    filtered corpus.  One extra join on the id (both sides partition-pruned
+    projections of the same scan) and a map-side-combinable groupBy; output
+    cardinality is |strata| * 2, so the shuffle is trivially small at any
+    corpus size."""
+    decision = gopher_filter(df, id_col=id_col, text_col=text_col, **gopher_kwargs)
+    return (
+        df.select(F.col(id_col), F.col(strata_col))
+        .join(decision, id_col)
+        .groupBy(strata_col, "keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, n_tokens, n_chars, n_distinct): the cheap curation counters."""
     ts = _tokens(text_col)

@@ -922,6 +922,10 @@ def q_gopher_filter(spark, sf_dir):
     return T.gopher_filter(_docs(spark, sf_dir))
 
 
+def q_curation_report(spark, sf_dir):
+    return T.curation_report(_docs(spark, sf_dir))
+
+
 def q_hash_sample(spark, sf_dir):
     return SM.hash_sample(_docs(spark, sf_dir), rate=0.25)
 
@@ -1346,6 +1350,27 @@ FROM c
 """
 
 
+def _curation_report_sql() -> str:
+    en = _sql_list(EN_STOP)
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
+c AS (
+  SELECT doc_id, lang, len(ts) AS n, len(replace(text, ' ', '')) AS wc,
+         len(list_filter(ts, x -> x IN ({en}))) AS stop_hits,
+         len(list_distinct(ts)) AS nd
+  FROM t
+),
+d AS (
+  SELECT lang, n,
+    ((n >= 20 AND n <= 80) AND (wc >= 3 * n AND wc <= 10 * n)
+     AND stop_hits >= 2 AND nd * 100 >= n * 40) AS keep
+  FROM c
+)
+SELECT lang, keep, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM d GROUP BY lang, keep
+"""
+
+
 def _sample_bucket_sql(seed: int = 11) -> str:
     h = seeded_hash_sql("CAST(doc_id AS VARCHAR)", seed)
     return f"{h} % {SM.RESOLUTION}"
@@ -1622,6 +1647,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "gopher_filter": q_gopher_filter,
+    "curation_report": q_curation_report,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1737,6 +1763,7 @@ ORACLES = {
     ),
     "fingerprint": _fingerprint_sql(),
     "gopher_filter": _gopher_sql(),
+    "curation_report": _curation_report_sql(),
     "hash_sample": _hash_sample_sql(),
     "stratified_sample": _stratified_sample_sql(),
     "ann_cosine_topk": _ANN_TOPK_SQL,

@@ -542,3 +542,21 @@ def test_stratified_sample_rates_and_default(spark):
     en_only = df.filter(F.col("lang") == "en")
     assert ({r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
             == {r["doc_id"] for r in hash_sample(en_only, 0.5).collect()})
+
+
+def test_curation_report_rollup(spark):
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        curation_report,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and the small cat", "en"),
+        (2, "too short", "en"),
+        (3, "kurz", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang"], r["keep"]): (r["n_docs"], r["n_tokens"])
+           for r in curation_report(df, min_words=5).collect()}
+    assert out[("en", True)] == (1, 13)
+    assert out[("en", False)] == (1, 2)
+    assert out[("de", False)] == (1, 1)
