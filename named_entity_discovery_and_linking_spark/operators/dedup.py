@@ -243,6 +243,55 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select("doc", sim.cast("bigint").alias("simhash"))
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str = "bench_id", bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the Lee et al. / GPT-3-style n-gram
+    overlap check): flag every training document sharing a word ``n``-gram
+    with any benchmark text, so eval data can be excluded from the corpus.
+
+    Scale shape: the benchmark set is small by construction (eval suites
+    are KBs, corpora are TBs), so its shingle set is BROADCAST and the
+    docs side streams through a map-side hash join — no shuffle of the
+    corpus.  Only matching shingle rows (rare) reach the per-doc groupBy,
+    and the final left join back to the id list is AQE-broadcastable.
+    Texts shorter than ``n`` words fall back to a whole-text shingle on
+    both sides (``shingles_col`` semantics), so exact copies of short
+    benchmark items are still caught.
+
+    Returns one row per input document:
+    (id, n_overlap_shingles, n_benchmarks, contaminated).
+    """
+    d_sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("sh"),
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id_col).alias("bench"),
+        F.explode(F.array_distinct(shingles_col(bench_text_col, n))).alias("sh"),
+    ).distinct()
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("sh").alias("n_overlap_shingles"),
+            F.countDistinct("bench").alias("n_benchmarks"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_overlap_shingles", F.lit(0)).alias("n_overlap_shingles"),
+            F.coalesce("n_benchmarks", F.lit(0)).alias("n_benchmarks"),
+            (F.coalesce("n_overlap_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id",
     text_col: str = "text", n: int = 3, max_df: int | None = None,

@@ -19,6 +19,13 @@ LANG_PROFILES = {
 
 FINGERPRINT_MOD = 1_000_000_007
 
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ Java-regex subset (no
+# lookarounds) so Spark and the DuckDB oracle count identically: English
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+# Counts tokens (coverage of stray whitespace is not attempted) — the cheap
+# proxy for "how many BPE tokens will this document cost".
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+"
+
 
 def _tokens(text_col):
     return F.split(F.col(text_col), " ")
@@ -138,12 +145,16 @@ def curation_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_chars, n_distinct): the cheap curation counters."""
+    """(id, n_tokens, n_chars, n_distinct, n_bpe_tokens): the cheap curation
+    counters — whitespace tokens plus the BPE-ish pre-tokenizer count."""
     ts = _tokens(text_col)
     return df.select(
         F.col(id_col), F.size(ts).alias("n_tokens"),
         F.length(text_col).alias("n_chars_m"),
         F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_bpe_tokens"),
     )
 
 

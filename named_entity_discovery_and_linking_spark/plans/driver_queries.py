@@ -874,6 +874,18 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(_docs(spark, sf_dir), threshold=0.6)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark = the first 12 words of docs 7/42/99 (5 8-gram shingles
+    each), so the source docs and their exact duplicates flag contaminated
+    while the rest of the corpus exercises the zero-hit left-join branch."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id").isin(7, 42, 99)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)).alias("text"),
+    )
+    return D.decontaminate(docs, bench, n=8)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1350,6 +1362,43 @@ FROM c
 """
 
 
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB word-n-gram list over a ``ts`` (string_split) column, with the
+    same short-text whole-string fallback as dedup.shingles_col."""
+    terms = " || ' ' || ".join(f"ts[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"CASE WHEN len(ts) >= {n} THEN list_transform(range(len(ts) - {n - 1}), i -> {terms}) "
+        "ELSE [array_to_string(ts, ' ')] END"
+    )
+
+
+def _decontaminate_sql(n: int = 8) -> str:
+    g = _ngram_list_sql(n)
+    return f"""
+WITH bench AS (
+  SELECT doc_id AS bench, array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS btext
+  FROM documents WHERE doc_id IN (7, 42, 99)
+),
+bsh AS (
+  SELECT DISTINCT bench, unnest({g}) AS sh
+  FROM (SELECT bench, string_split(btext, ' ') AS ts FROM bench)
+),
+dsh AS (
+  SELECT DISTINCT doc, unnest({g}) AS sh
+  FROM (SELECT doc_id AS doc, string_split(text, ' ') AS ts FROM documents)
+),
+hits AS (
+  SELECT doc, count(DISTINCT sh) AS n_overlap_shingles, count(DISTINCT bench) AS n_benchmarks
+  FROM dsh JOIN bsh USING (sh) GROUP BY doc
+)
+SELECT d.doc_id,
+  coalesce(h.n_overlap_shingles, 0) AS n_overlap_shingles,
+  coalesce(h.n_benchmarks, 0) AS n_benchmarks,
+  coalesce(h.n_overlap_shingles, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc
+"""
+
+
 def _curation_report_sql() -> str:
     en = _sql_list(EN_STOP)
     return f"""
@@ -1638,6 +1687,7 @@ QUERIES = {
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "semdedup_clusters": q_semdedup_clusters,
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
@@ -1751,6 +1801,7 @@ ORACLES = {
     "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
     "dedup_minhash": _minhash_sql(),
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "decontaminate": _decontaminate_sql(),
     "semdedup_clusters": _SEMDEDUP_SQL,
     "repetition_stats": _REPETITION_SQL,
     "pii_scrub": _PII_SQL,
@@ -1759,7 +1810,9 @@ ORACLES = {
     "quality_score": _quality_sql(),
     "token_stats": (
         "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, len(text) AS n_chars_m, "
-        "len(list_distinct(string_split(text,' '))) AS n_distinct FROM documents"
+        "len(list_distinct(string_split(text,' '))) AS n_distinct, "
+        f"len(regexp_extract_all(text, '{T.BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}')) "
+        "AS n_bpe_tokens FROM documents"
     ),
     "fingerprint": _fingerprint_sql(),
     "gopher_filter": _gopher_sql(),

@@ -560,3 +560,43 @@ def test_curation_report_rollup(spark):
     assert out[("en", True)] == (1, 13)
     assert out[("en", False)] == (1, 2)
     assert out[("de", False)] == (1, 1)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A doc embedding a benchmark 8-gram mid-text flags; a short benchmark
+    item caught via the whole-text fallback; clean docs report zeros."""
+    from named_entity_discovery_and_linking_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench_sent = "which of the following best describes the process"
+    rows = [
+        (1, "intro words then " + bench_sent + " trailing tail here"),
+        (2, "totally unrelated document about spark shuffle partition tuning"),
+        (3, "tiny quiz"),  # exact copy of short benchmark item 21
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(20, bench_sent), (21, "tiny quiz")], "bench_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert len(out) == 3
+    assert out[1]["contaminated"] and out[1]["n_benchmarks"] == 1
+    assert out[1]["n_overlap_shingles"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap_shingles"] == 0
+    assert out[3]["contaminated"] and out[3]["n_benchmarks"] == 1
+
+
+def test_bpe_token_count_pins(spark):
+    from named_entity_discovery_and_linking_spark.operators.textstats import (
+        token_stats,
+    )
+
+    rows = [(1, "it's a 42-year test... really?!"), (2, ""), (3, "plain words only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in token_stats(df).collect()}
+    # it|'s| a| 42|-year| test|...| really|?!  -> contraction split, digit
+    # run, punctuation runs each counted separately
+    assert out[1] == 10
+    assert out[2] == 0
+    assert out[3] == 3
