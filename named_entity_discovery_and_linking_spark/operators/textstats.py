@@ -105,6 +105,20 @@ def gopher_filter(
     Parquet/Iceberg can pushdown-prune on after materialization.
     Returns (id, n_words, ok_words, ok_mean_len, ok_stop, ok_distinct, keep).
     """
+    f = _gopher_flags(text_col, min_words, max_words, min_mean_len,
+                      max_mean_len, min_stop_hits, min_distinct_pct)
+    return df.select(
+        F.col(id_col), f["n_words"].alias("n_words"),
+        f["ok_words"].alias("ok_words"), f["ok_mean_len"].alias("ok_mean_len"),
+        f["ok_stop"].alias("ok_stop"), f["ok_distinct"].alias("ok_distinct"),
+        f["keep"].alias("keep"),
+    )
+
+
+def _gopher_flags(text_col, min_words=20, max_words=80, min_mean_len=3,
+                  max_mean_len=10, min_stop_hits=2, min_distinct_pct=40):
+    """The gopher_filter criteria as reusable Column expressions, so callers
+    (the per-doc decision, the corpus rollup) stay single-scan."""
     ts = _tokens(text_col)
     n_tok = F.size(ts)
     word_chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
@@ -115,12 +129,11 @@ def gopher_filter(
     ok_mean_len = (word_chars >= min_mean_len * n_tok) & (word_chars <= max_mean_len * n_tok)
     ok_stop = stop_hits >= min_stop_hits
     ok_distinct = n_distinct * 100 >= n_tok * min_distinct_pct
-    return df.select(
-        F.col(id_col), n_tok.alias("n_words"),
-        ok_words.alias("ok_words"), ok_mean_len.alias("ok_mean_len"),
-        ok_stop.alias("ok_stop"), ok_distinct.alias("ok_distinct"),
-        (ok_words & ok_mean_len & ok_stop & ok_distinct).alias("keep"),
-    )
+    return {
+        "n_words": n_tok, "ok_words": ok_words, "ok_mean_len": ok_mean_len,
+        "ok_stop": ok_stop, "ok_distinct": ok_distinct,
+        "keep": ok_words & ok_mean_len & ok_stop & ok_distinct,
+    }
 
 
 def curation_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -128,14 +141,14 @@ def curation_report(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Corpus-level curation observability: per (stratum, keep-decision),
     how many documents and tokens the :func:`gopher_filter` decision keeps
     and drops — the summary table an operator reads before committing a
-    filtered corpus.  One extra join on the id (both sides partition-pruned
-    projections of the same scan) and a map-side-combinable groupBy; output
-    cardinality is |strata| * 2, so the shuffle is trivially small at any
-    corpus size."""
-    decision = gopher_filter(df, id_col=id_col, text_col=text_col, **gopher_kwargs)
+    filtered corpus.  SINGLE scan: the decision columns are inlined next to
+    the stratum (no self-join back on the id) and the groupBy's map-side
+    partials reduce to |strata| * 2 rows before the shuffle — trivially
+    small at any corpus size."""
+    f = _gopher_flags(text_col, **gopher_kwargs)
     return (
-        df.select(F.col(id_col), F.col(strata_col))
-        .join(decision, id_col)
+        df.select(F.col(strata_col), f["keep"].alias("keep"),
+                  f["n_words"].alias("n_words"))
         .groupBy(strata_col, "keep")
         .agg(
             F.count("*").alias("n_docs"),
