@@ -8,7 +8,9 @@ repartition key).  For each (bucket, stage) the runner:
   2. computes the stage ONLY for pending buckets;
   3. writes output partitioned by bucket with dynamic partition overwrite
      (idempotent: a re-run of a bucket replaces exactly that bucket);
-  4. appends (bucket, stage, status='done', n_rows) to the lineage table.
+  4. appends (bucket, stage, status='done', n_rows) to the lineage table,
+     and a per-(run, stage) metrics record (wall time, buckets, rows —
+     plans/metrics.py) under <lineage_dir>/_metrics/.
 
 Crash-safety argument: output-then-lineage ordering means a crash between
 (3) and (4) leaves the bucket marked pending; the re-run overwrites the
@@ -165,12 +167,15 @@ def run_stage(
     written, so the transform runs once and nothing lands in the JVM object
     store (the GC pathology session.materialize was built to avoid).
     """
+    from .metrics import write_stage_metrics
+
     run_id = run_id or f"run-{int(time.time())}-{os.getpid()}"
     bucketed = bucketize(pages, "url", n_buckets)
     out_fs = get_filesystem(out_dir)
     out_path = out_fs.join(out_dir, stage)
     claim, claim_fs = _acquire_claim(lineage_dir, stage, run_id, claim_ttl, claim_timeout)
     hb_thread, hb_stop = _claim_heartbeat(claim_fs, claim, run_id, claim_ttl)
+    t0 = time.time()
     try:
         # done-set read AFTER the claim: a concurrent driver that held the
         # claim first may have completed buckets while we polled
@@ -197,6 +202,17 @@ def run_stage(
             for b in pending_ids:
                 counts.setdefault(b, 0)
             mark_done(spark, lineage_dir, stage, counts, run_id)
+            write_stage_metrics(
+                lineage_dir, run_id, stage, wall_s=time.time() - t0,
+                n_buckets=len(pending_ids), n_rows=sum(counts.values()),
+                extra={"resumed_buckets": len(done)},
+            )
+        else:
+            # fully-resumed invocation: zero pending work is itself a metric
+            write_stage_metrics(
+                lineage_dir, run_id, stage, wall_s=time.time() - t0,
+                n_buckets=0, n_rows=0, extra={"resumed_buckets": len(done)},
+            )
     finally:
         hb_stop.set()
         hb_thread.join(timeout=5.0)

@@ -1,0 +1,101 @@
+"""Pipeline metrics (north_rule: "per-partition lineage + metrics").
+
+Two complementary surfaces, both Spark-idiomatic and object-store-safe:
+
+1. ``observe``: zero-cost declarative metrics on any DataFrame via Spark's
+   ``Observation`` API — the aggregates piggyback on whatever action the
+   caller already runs (no extra job, unlike a ``.count()`` probe), and in
+   Structured Streaming the same observed metrics surface per-batch in
+   ``QueryProgress``.  Use for row counts / null rates / value bounds at
+   stage boundaries.
+
+2. ``write_stage_metrics`` / ``read_metrics``: durable per-(run, stage)
+   records written next to the lineage table through the same scheme-
+   dispatched filesystem as the claims (sources/fs.py) — one uniquely-named
+   JSON file per record (never append-in-place, which object stores cannot
+   do atomically), so concurrent drivers cannot clobber each other.
+   ``run_stage`` records stage wall time, bucket counts, and row totals
+   here automatically; ``read_metrics`` returns the whole history as a
+   DataFrame for dashboards / regression checks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from ..sources.fs import get_filesystem
+
+METRICS_SUBDIR = "_metrics"
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, ts double, wall_s double, "
+    "n_buckets long, n_rows long, extra string"
+)
+
+
+def observe(df: DataFrame, name: str, *exprs) -> tuple[DataFrame, Observation]:
+    """Attach observed aggregates to ``df``; returns (df, observation).
+
+    ``observation.get`` blocks until the FIRST action on the returned frame
+    completes, then yields {alias: value}.  Example::
+
+        df, obs = observe(mentions, "mentions",
+                          F.count(F.lit(1)).alias("rows"),
+                          F.approx_count_distinct("doc_id").alias("docs"))
+        df.write.parquet(out)
+        log(obs.get)   # no extra job ran
+
+    Spark constraint: observed aggregates must be deterministic and may not
+    use DISTINCT (use approx_count_distinct) or reference non-grouping
+    subqueries — violations raise AnalysisException at plan time.
+    """
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs
+
+
+def write_stage_metrics(
+    lineage_dir: str, run_id: str, stage: str, wall_s: float,
+    n_buckets: int, n_rows: int, extra: dict | None = None,
+) -> None:
+    """Durably record one stage execution.  One new uniquely-named file per
+    record under ``<lineage_dir>/_metrics/`` — atomic on POSIX (write+rename
+    via write_atomic) and safe on object stores (unique key, no append)."""
+    fs = get_filesystem(lineage_dir)
+    mdir = fs.join(lineage_dir, METRICS_SUBDIR)
+    fs.makedirs(mdir)
+    rec = {
+        "run_id": run_id, "stage": stage, "ts": time.time(),
+        "wall_s": round(wall_s, 3), "n_buckets": int(n_buckets),
+        "n_rows": int(n_rows), "extra": json.dumps(extra or {}, sort_keys=True),
+    }
+    fname = f"m_{stage}_{run_id}_{uuid.uuid4().hex[:8]}.json"
+    fs.write_atomic(fs.join(mdir, fname), json.dumps(rec, sort_keys=True))
+
+
+def read_metrics(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    """All stage-metrics records under ``lineage_dir`` as a DataFrame."""
+    fs = get_filesystem(lineage_dir)
+    mdir = fs.join(lineage_dir, METRICS_SUBDIR)
+    if not fs.exists(mdir):
+        return spark.createDataFrame([], METRICS_SCHEMA)
+    rows = []
+    for fn in sorted(fs.listdir(mdir)):
+        if not fn.endswith(".json"):
+            continue
+        content = fs.read_text(fs.join(mdir, fn))
+        if not content:
+            continue
+        try:
+            r = json.loads(content)
+        except ValueError:
+            continue  # torn/foreign file: skip, never fail the reader
+        rows.append((
+            r.get("run_id"), r.get("stage"), float(r.get("ts", 0.0)),
+            float(r.get("wall_s", 0.0)), int(r.get("n_buckets", 0)),
+            int(r.get("n_rows", 0)), r.get("extra", "{}"),
+        ))
+    return spark.createDataFrame(rows, METRICS_SCHEMA)

@@ -729,3 +729,43 @@ def test_incremental_reconcile_matches_full_and_prunes(spark, tmp_path):
     assert stats3["rewritten_batches"] == []
     got = sorted(map(tuple, spark.read.parquet(out_dir).select(*cols).collect()))
     assert got == want
+
+
+def test_stage_metrics_recorded_and_resume_visible(spark, tmp_path):
+    """Every run_stage invocation leaves a durable metrics record (north_rule
+    'lineage + metrics'): a fresh run records buckets/rows/wall, a fully
+    resumed rerun records zero pending work with the resumed count."""
+    import json
+
+    from named_entity_discovery_and_linking_spark.plans.metrics import read_metrics
+
+    pages = pages_df(spark, n_pages=10)
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=4)
+    run_stage(spark, pages, "mentions", _discover, out, lin, n_buckets=4)
+    m = read_metrics(spark, lin).orderBy("ts").collect()
+    assert len(m) == 2
+    first, second = m
+    assert first["stage"] == second["stage"] == "mentions"
+    assert first["n_buckets"] == 4 and first["n_rows"] > 0
+    assert first["wall_s"] > 0
+    assert second["n_buckets"] == 0 and second["n_rows"] == 0
+    assert json.loads(second["extra"])["resumed_buckets"] == 4
+
+
+def test_observe_piggybacks_on_action(spark):
+    """observe() yields stage aggregates from the caller's own action — the
+    declarative no-extra-job metrics surface."""
+    from named_entity_discovery_and_linking_spark.plans.metrics import observe
+
+    pages = pages_df(spark, n_pages=12)
+    df, obs = observe(
+        pages, "pages",
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("lang").alias("langs"),
+    )
+    n = df.count()  # the only action
+    got = obs.get
+    assert got["rows"] == n == 12
+    assert got["langs"] >= 1
