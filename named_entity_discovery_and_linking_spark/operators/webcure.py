@@ -1,0 +1,171 @@
+"""Web-corpus curation operators: URL canonicalization, URL-level dedup,
+and cross-document line-level dedup (the CCNet/RefinedWeb boilerplate pass).
+
+These are the passes a Common-Crawl-style pipeline runs BEFORE content
+dedup: canonicalize the url key, collapse recrawls of the same page, and
+strip nav/footer lines that repeat across a site.  The reference pipeline
+keys everything on the document url (main.py iterates per-file docs; our
+input contract makes url the doc id — DEVIATIONS #5), so these operators
+are the missing hygiene layer for that key.
+
+Scale notes (100 TB):
+- ``normalize_url`` is pure Column regexp chains — map-only, whole-stage
+  codegen, no shuffle.
+- ``url_dedup`` is one groupBy on the normalized url — map-side combinable,
+  one shuffle; at 10^12 docs the url key-space is near-unique so AQE's
+  post-shuffle coalescing keeps partitions even (no hot keys by design).
+- ``line_dedup`` shuffles (line-hash) for the document-frequency count,
+  then LEFT ANTI joins docs' lines against the HOT set only.  The hot set
+  is small by construction (a line with df > k in D docs can exist at most
+  L_total/k times, and boilerplate is the head of the line distribution),
+  so Spark's auto-broadcast turns the anti-join map-side; the reassembly
+  groupBy is the second and last shuffle.  Every key is a hash — no wide
+  string shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tracking query parameters stripped by normalize_url (the C4/ClueWeb set:
+# analytics decorations that fork one logical page into many crawl keys).
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+# Lines appearing in more than this many distinct documents are boilerplate
+# (nav bars, cookie banners, footers) and dropped by line_dedup.
+DEFAULT_LINE_MAX_DF = 2
+
+
+def normalize_url(df: DataFrame, url_col: str = "url",
+                  out_col: str = "url_norm") -> DataFrame:
+    """Append ``out_col``: the canonical form of ``url_col``.
+
+    Canonicalization rules (each a single global regexp pass, in order):
+      1. drop the fragment (``#...``);
+      2. lowercase the scheme://host[:port] prefix (path/query keep case);
+      3. drop a leading ``www.`` host label;
+      4. drop explicit default ports (``:80`` for http, ``:443`` for https);
+      5. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+         ``ref``), then collapse the separator debris (``?&``→``?``,
+         ``&&``→``&``, trailing ``?``/``&``);
+      6. drop a single trailing slash.
+
+    Pure Column expressions (map-only, codegen).  The same chain is
+    replicable in ANSI SQL for the DuckDB oracle (Java ``$1`` vs RE2
+    ``\\1`` backreference spelling differs per engine; the regexes
+    themselves stay in the shared RE2 ∩ Java subset).
+    """
+    u = F.col(url_col)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://host[:port] (everything before the first
+    #    path slash); regexp_replace cannot lower a backref, so rebuild:
+    prefix = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.lit(1 << 30)))
+    # 3. www.
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    # 4. default ports (RE2-safe: capture the follower, no lookahead)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", r"$1$2")
+    # 5. tracking params + separator debris
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 6. trailing slash
+    u = F.regexp_replace(u, r"/$", "")
+    return df.withColumn(out_col, u)
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """Collapse recrawls: one row per canonical url —
+    (url_norm, n_docs, keep_id) where keep_id is the smallest ``id_col``
+    (deterministic survivor; "first crawl" is undefined under a
+    distributed scan, same argument as DEVIATIONS #11).
+
+    One map-side-combinable groupBy on the normalized url; no joins.
+    """
+    return (
+        normalize_url(df, url_col)
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_df: int = DEFAULT_LINE_MAX_DF, sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line dedup (CCNet pp.3 / RefinedWeb line-wise filter):
+    drop every line that occurs in MORE THAN ``max_df`` distinct documents
+    (site boilerplate: nav, cookie banners, footers), keep the remaining
+    lines in original order.
+
+    Returns (id, n_lines, n_kept, text_clean); documents whose every line
+    was boilerplate survive with ``text_clean = ''`` so the caller decides
+    whether to drop them (RefinedWeb drops; CCNet keeps for stats).
+
+    Plan: posexplode(split) → df-count groupBy on md5(line) (shuffle 1,
+    map-side combine) → the HOT subset (df > max_df) anti-joined back
+    (small by construction ⇒ auto-broadcast) → reassembly groupBy on the
+    doc id (shuffle 2) with sort_array over (pos, line) structs so line
+    order is restored deterministically.  Lines travel the shuffle as md5
+    hashes, never as strings.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_h", F.md5("line"))
+    hot = (
+        lines.groupBy("line_h")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+        .select("line_h")
+    )
+    kept = lines.join(hot, "line_h", "left_anti")
+    n_all = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return (
+        n_all.join(reassembled, id_col, "left")
+        .select(
+            id_col, "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain rollup over canonical urls:
+    (domain, n_docs, n_urls) — the aggregate a domain-level block/allow
+    decision (C4's bad-domain list, RefinedWeb's url scoring) reads.
+
+    Domain = last two host labels of the canonical url (a deterministic
+    registered-domain proxy; a public-suffix list drops in here).  One
+    groupBy (map-side combinable count + exact distinct-url count, which
+    Spark plans as a two-stage partial/final expand — still one logical
+    shuffle chain keyed on domain).
+    """
+    normed = normalize_url(df, url_col)
+    host = F.regexp_extract(F.col("url_norm"), r"^[a-z]+://([^/:?#]+)", 1)
+    normed = normed.withColumn(
+        "domain", F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    )
+    return normed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url_norm").alias("n_urls"),
+    )

@@ -27,6 +27,7 @@ from ..operators import dedup as D
 from ..operators import sampling as SM
 from ..operators import similarity as S
 from ..operators import textstats as T
+from ..operators import webcure as W
 from ..operators.textstats import LANG_PROFILES
 
 # --------------------------------------------------------------- helpers
@@ -951,6 +952,98 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def _synth_url5(df: DataFrame) -> DataFrame:
+    """Deterministic url column over documents (the corpus carries none):
+    five variants by doc_id % 5 covering every normalize_url rule — mixed
+    case, www, default/explicit ports, tracking params, fragments, trailing
+    slash.  Hosts fan out over 20 subdomains of 7 registered domains."""
+    d = F.col("doc_id")
+    h = (d % 20).cast("string")
+    s = ((d % 20) % 7).cast("string")
+    i = d.cast("string")
+    v = d % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.D"), h, F.lit(".Site"), s, F.lit(".COM:443/p/"), i,
+            F.lit("?id="), i, F.lit("&utm_source=feed&gclid=g1#frag")))
+        .when(v == 1, F.concat(
+            F.lit("https://d"), h, F.lit(".site"), s, F.lit(".com/p/"), i, F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("http://www.d"), h, F.lit(".SITE"), s, F.lit(".com:80/p/"), i,
+            F.lit("?utm_campaign=x&id="), i))
+        .when(v == 3, F.concat(
+            F.lit("http://D"), h, F.lit(".site"), s, F.lit(".com/p/"), i,
+            F.lit("?ref=rss")))
+        .otherwise(F.concat(
+            F.lit("https://d"), h, F.lit(".site"), s, F.lit(".com:8080/p/"), i,
+            F.lit("#x")))
+    )
+    return df.withColumn("url", url)
+
+
+def _synth_url4(df: DataFrame) -> DataFrame:
+    """Recrawl-pair url synthesis for url_dedup: consecutive doc pairs
+    (2k, 2k+1) get differently-decorated urls with the SAME canonical form,
+    so every canonical url collapses exactly two documents."""
+    d = F.col("doc_id")
+    b = (d / 2).cast("long")
+    h = (b % 20).cast("string")
+    i = b.cast("string")
+    v = d % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.B"), h, F.lit(".Example.COM:443/p/"), i,
+            F.lit("?id="), i, F.lit("&utm_source=feed#top")))
+        .when(v == 1, F.concat(
+            F.lit("https://b"), h, F.lit(".example.com:443/p/"), i,
+            F.lit("?id="), i, F.lit("#sec")))
+        .when(v == 2, F.concat(
+            F.lit("http://www.b"), h, F.lit(".EXAMPLE.com:80/p/"), i,
+            F.lit("?utm_campaign=x&id="), i))
+        .otherwise(F.concat(
+            F.lit("http://b"), h, F.lit(".example.com/p/"), i,
+            F.lit("?id="), i, F.lit("&ref=rss")))
+    )
+    return df.withColumn("url", url)
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (webcure.normalize_url): the five synthetic
+    variants exercise every rule — fragment, case, www, default vs explicit
+    port, tracking-param removal incl. separator debris, trailing slash."""
+    return W.normalize_url(_synth_url5(_docs(spark, sf_dir))).select(
+        "doc_id", "url", "url_norm"
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Recrawl collapse: each canonical url claims its two decorated
+    variants; survivor = min doc_id (deterministic, DEVIATIONS #11)."""
+    return W.url_dedup(_synth_url4(_docs(spark, sf_dir)))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document boilerplate-line removal: every doc is wrapped in a
+    corpus-wide 'COOKIE NOTICE' header and a 3-family 'FOOTER k' trailer
+    (df 500 and ~167 ≫ max_df=2 → dropped); body lines keep df from the
+    corpus's planted exact duplicates, so both keep and drop branches are
+    value-checked including full reassembled text."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"), F.col("text"), F.lit("\nFOOTER "),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    )
+    return W.line_dedup(docs, max_df=2)
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain rollup over canonical urls (the block/allow
+    decision input): 7 synthetic domains × 20 subdomains."""
+    return W.domain_stats(_synth_url5(_docs(spark, sf_dir)))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1420,6 +1513,119 @@ FROM d GROUP BY lang, keep
 """
 
 
+def _synth_url5_sql() -> str:
+    """SQL twin of _synth_url5."""
+    h = "CAST(doc_id % 20 AS VARCHAR)"
+    s = "CAST((doc_id % 20) % 7 AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT doc_id, CASE doc_id % 5
+  WHEN 0 THEN 'HTTPS://WWW.D' || {h} || '.Site' || {s} || '.COM:443/p/' || {i}
+              || '?id=' || {i} || '&utm_source=feed&gclid=g1#frag'
+  WHEN 1 THEN 'https://d' || {h} || '.site' || {s} || '.com/p/' || {i} || '/'
+  WHEN 2 THEN 'http://www.d' || {h} || '.SITE' || {s} || '.com:80/p/' || {i}
+              || '?utm_campaign=x&id=' || {i}
+  WHEN 3 THEN 'http://D' || {h} || '.site' || {s} || '.com/p/' || {i} || '?ref=rss'
+  ELSE 'https://d' || {h} || '.site' || {s} || '.com:8080/p/' || {i} || '#x'
+END AS url
+FROM documents"""
+
+
+def _synth_url4_sql() -> str:
+    """SQL twin of _synth_url4."""
+    h = "CAST((doc_id // 2) % 20 AS VARCHAR)"
+    i = "CAST(doc_id // 2 AS VARCHAR)"
+    return f"""
+SELECT doc_id, CASE doc_id % 4
+  WHEN 0 THEN 'HTTPS://WWW.B' || {h} || '.Example.COM:443/p/' || {i}
+              || '?id=' || {i} || '&utm_source=feed#top'
+  WHEN 1 THEN 'https://b' || {h} || '.example.com:443/p/' || {i} || '?id=' || {i} || '#sec'
+  WHEN 2 THEN 'http://www.b' || {h} || '.EXAMPLE.com:80/p/' || {i}
+              || '?utm_campaign=x&id=' || {i}
+  ELSE 'http://b' || {h} || '.example.com/p/' || {i} || '?id=' || {i} || '&ref=rss'
+END AS url
+FROM documents"""
+
+
+# The normalize_url regexp chain in RE2 spelling (DuckDB backrefs are \\1,
+# Spark's Java replacements are $1; the patterns themselves are shared —
+# webcure.normalize_url documents the rule order).
+def _norm_url_sql(url_expr: str = "url") -> str:
+    u = f"regexp_replace({url_expr}, '#.*$', '')"
+    # lowercase the scheme://host[:port] prefix, keep the rest
+    u = (
+        f"lower(regexp_extract({u}, '^[^/]*//[^/]*')) || "
+        f"substr({u}, len(regexp_extract({u}, '^[^/]*//[^/]*')) + 1)"
+    )
+    u = f"regexp_replace({u}, '^(https?://)www\\.', '\\1')"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]*):80([/?#]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]*):443([/?#]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '')"
+    u = f"regexp_replace({u}, '/$', '')"
+    return u
+
+
+def _url_normalize_sql() -> str:
+    return (
+        f"SELECT doc_id, url, {_norm_url_sql()} AS url_norm "
+        f"FROM ({_synth_url5_sql()})"
+    )
+
+
+def _url_dedup_sql() -> str:
+    return f"""
+SELECT url_norm, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM (SELECT doc_id, {_norm_url_sql()} AS url_norm FROM ({_synth_url4_sql()}))
+GROUP BY url_norm"""
+
+
+def _line_dedup_sql(max_df: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         'COOKIE NOTICE' || chr(10) || text || chr(10) || 'FOOTER '
+           || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t)
+),
+hot AS (
+  SELECT md5(line) AS line_h FROM l
+  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > {max_df}
+),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE md5(line) NOT IN (SELECT line_h FROM hot)
+),
+alln AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_clean, '') AS text_clean
+FROM alln a LEFT JOIN re r USING (doc_id)"""
+
+
+def _domain_stats_sql() -> str:
+    return f"""
+WITH n AS (SELECT doc_id, {_norm_url_sql()} AS url_norm FROM ({_synth_url5_sql()})),
+d AS (
+  SELECT url_norm,
+         regexp_extract(regexp_extract(url_norm, '^[a-z]+://([^/:?#]+)', 1),
+                        '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM n
+)
+SELECT domain, count(*) AS n_docs, count(DISTINCT url_norm) AS n_urls
+FROM d GROUP BY domain"""
+
+
 def _sample_bucket_sql(seed: int = 11) -> str:
     h = seeded_hash_sql("CAST(doc_id AS VARCHAR)", seed)
     return f"{h} % {SM.RESOLUTION}"
@@ -1700,6 +1906,10 @@ QUERIES = {
     "curation_report": q_curation_report,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "url_normalize": q_url_normalize,
+    "url_dedup": q_url_dedup,
+    "line_dedup": q_line_dedup,
+    "domain_stats": q_domain_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
@@ -1819,6 +2029,10 @@ ORACLES = {
     "curation_report": _curation_report_sql(),
     "hash_sample": _hash_sample_sql(),
     "stratified_sample": _stratified_sample_sql(),
+    "url_normalize": _url_normalize_sql(),
+    "url_dedup": _url_dedup_sql(),
+    "line_dedup": _line_dedup_sql(),
+    "domain_stats": _domain_stats_sql(),
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,

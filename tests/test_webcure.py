@@ -1,0 +1,145 @@
+"""Web-corpus curation operators (operators/webcure.py): URL
+canonicalization rules pinned one by one, recrawl dedup survivor election,
+cross-document line dedup semantics, and the plan shapes that make each
+scale (map-only normalize, single-shuffle url_dedup, hashed-key line df)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.operators.webcure import (
+    domain_stats,
+    line_dedup,
+    normalize_url,
+    url_dedup,
+)
+
+
+def _norm(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return normalize_url(df).head()["url_norm"]
+
+
+@pytest.mark.parametrize("raw,want", [
+    # 1. fragment
+    ("https://a.com/p#sec", "https://a.com/p"),
+    # 2. scheme/host/port lowercased, path+query case preserved
+    ("HTTPS://A.Example.COM/Path?Q=Value", "https://a.example.com/Path?Q=Value"),
+    # 3. www stripped
+    ("https://www.a.com/p", "https://a.com/p"),
+    # 4. default ports dropped, non-default kept, wrong-scheme kept
+    ("http://a.com:80/p", "http://a.com/p"),
+    ("https://a.com:443/p", "https://a.com/p"),
+    ("https://a.com:8080/p", "https://a.com:8080/p"),
+    ("http://a.com:443/p", "http://a.com:443/p"),
+    # port with no path at all
+    ("https://a.com:443", "https://a.com"),
+    # 5. tracking params: middle, leading, trailing, only
+    ("https://a.com/p?id=1&utm_source=x&id2=2", "https://a.com/p?id=1&id2=2"),
+    ("https://a.com/p?utm_campaign=x&id=1", "https://a.com/p?id=1"),
+    ("https://a.com/p?id=1&gclid=g", "https://a.com/p?id=1"),
+    ("https://a.com/p?fbclid=f", "https://a.com/p"),
+    ("https://a.com/p?ref=rss&utm_medium=m", "https://a.com/p"),
+    # non-tracking params survive untouched
+    ("https://a.com/p?a=1&b=2", "https://a.com/p?a=1&b=2"),
+    # 6. trailing slash (incl. root)
+    ("https://a.com/p/", "https://a.com/p"),
+    ("https://a.com/", "https://a.com"),
+    # everything at once
+    ("HTTP://WWW.A.Com:80/p/?utm_source=s&id=9&fbclid=f#frag",
+     "http://a.com/p/?id=9"),
+])
+def test_normalize_url_rules(spark, raw, want):
+    assert _norm(spark, raw) == want
+
+
+def test_normalize_url_is_idempotent(spark):
+    urls = [
+        "HTTPS://WWW.A.Example.COM:443/P/x?id=1&utm_source=f#top",
+        "http://b.com:8080/q/?ref=r",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [r["url_norm"] for r in normalize_url(df).collect()]
+    again = [
+        r["url_norm"]
+        for r in normalize_url(
+            spark.createDataFrame([(u,) for u in once], "url string")
+        ).collect()
+    ]
+    assert once == again
+
+
+def test_normalize_url_plan_is_map_only(spark):
+    df = spark.createDataFrame([("https://a.com/p#x",)], "url string")
+    plan = normalize_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_dedup_collapses_recrawls(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.com/p?utm_source=x&id=1"),
+            (1, "HTTPS://WWW.A.COM:443/p?id=1#frag"),
+            (2, "https://a.com/p?id=2"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["url_norm"]: r for r in url_dedup(df).collect()}
+    assert rows["https://a.com/p?id=1"]["n_docs"] == 2
+    assert rows["https://a.com/p?id=1"]["keep_id"] == 0
+    assert rows["https://a.com/p?id=2"]["n_docs"] == 1
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    nav, foot = "NAV BAR", "(c) footer"
+    df = spark.createDataFrame(
+        [
+            (0, f"{nav}\nalpha one\nbravo two\n{foot}"),
+            (1, f"{nav}\ncharlie three\n{foot}"),
+            (2, f"{nav}\ndelta four\necho five\n{foot}"),
+            (3, f"{nav}\n{foot}"),  # nothing but boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_df=2).collect()}
+    assert out[0]["text_clean"] == "alpha one\nbravo two"
+    assert out[1]["text_clean"] == "charlie three"
+    assert out[2]["text_clean"] == "delta four\necho five"
+    # all-boilerplate doc survives with empty text, counts intact
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_lines"] == 2
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept"] == 2
+
+
+def test_line_dedup_df_counts_distinct_docs_not_occurrences(spark):
+    # 'dup' appears 3 times but in only 2 docs -> df=2 == max_df -> kept
+    df = spark.createDataFrame(
+        [(0, "dup\ndup\na"), (1, "dup\nb"), (2, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_clean"] for r in line_dedup(df, max_df=2).collect()}
+    assert out[0] == "dup\ndup\na"
+    assert out[1] == "dup\nb"
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    rows = [(i, f"SAME HEADER\nbody {i} line\nbody {i} two") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, line_dedup(df, max_df=2).collect()))
+    b = sorted(map(tuple, line_dedup(df.repartition(7), max_df=2).collect()))
+    assert a == b
+    assert all(r[3].startswith("body") for r in a)
+
+
+def test_domain_stats_groups_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://news.a.com/x"),
+            (1, "https://blog.a.com/y"),
+            (2, "https://WWW.B.ORG/z#f"),
+            (3, "https://b.org/z"),  # same canonical url as doc 2
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert rows["a.com"]["n_docs"] == 2 and rows["a.com"]["n_urls"] == 2
+    assert rows["b.org"]["n_docs"] == 2 and rows["b.org"]["n_urls"] == 1
