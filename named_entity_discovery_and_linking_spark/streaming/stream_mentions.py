@@ -64,9 +64,18 @@ def run_stream_to_table(
     """End-to-end: page stream -> mentions -> parquet sink with checkpoint.
     availableNow trigger = process everything present, then stop (the batch
     parity mode used by the tests); the checkpoint directory makes restarts
-    exactly-once per micro-batch."""
+    exactly-once per micro-batch.
+
+    The stream carries named observed metrics (north_rule "metrics"):
+    every micro-batch's QueryProgress reports n_mentions / n_docs under
+    ``observedMetrics['mention_stream']`` — computed inside the batch's own
+    job, no extra action (plans/metrics.py documents the batch analog)."""
     pages = read_page_stream(spark, input_dir)
-    mentions = stream_mentions(pages, cfg)
+    mentions = stream_mentions(pages, cfg).observe(
+        "mention_stream",
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.approx_count_distinct("url").alias("n_docs"),
+    )
     q = (
         mentions.writeStream.format("parquet")
         .option("path", output_dir)
@@ -133,13 +142,29 @@ def stream_triples(
             reconcile_triples(spark, output_dir, state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         m = discover_mentions(batch_df, cfg).localCheckpoint()
         if not m.take(1):
             return
         links = link_mentions(m, kb, aliases, promote=False).localCheckpoint()
         triples = build_graph(m, links)[0].withColumn("batch_id", F.lit(batch_id))
+        # Observation piggybacks the triple count on the sink write itself —
+        # the per-batch metrics record costs zero extra jobs.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"batch_{batch_id}")
+        triples = triples.observe(obs, F.count(F.lit(1)).alias("n_triples"))
         write_table(triples, output_dir, partition_by=["batch_id", "pred"])
         if state_dir is not None:
+            from ..plans.metrics import write_stage_metrics
+
+            write_stage_metrics(
+                state_dir, run_id=f"batch-{batch_id}", stage="stream_triples",
+                wall_s=_time.time() - t0, n_buckets=1,
+                n_rows=int(obs.get["n_triples"]),
+            )
             bid = F.lit(batch_id)
             write_table(m.withColumn("batch_id", bid),
                         state_fs.spark_path(state_fs.join(state_dir, "mentions")),

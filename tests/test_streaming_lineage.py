@@ -1,5 +1,6 @@
 """Structured Streaming parity + per-partition lineage/resume (north_rule)."""
 
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -752,6 +753,55 @@ def test_stage_metrics_recorded_and_resume_visible(spark, tmp_path):
     assert first["wall_s"] > 0
     assert second["n_buckets"] == 0 and second["n_rows"] == 0
     assert json.loads(second["extra"])["resumed_buckets"] == 4
+
+
+def test_stream_observed_metrics_in_progress(spark, tmp_path):
+    """run_stream_to_table's named observe surfaces per-batch mention counts
+    in QueryProgress — the streaming face of the metrics surface."""
+    pages = pages_df(spark, n_pages=10)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    q = run_stream_to_table(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        timeout_sec=120,
+    )
+    got = [
+        p["observedMetrics"]["mention_stream"]
+        for p in (json.loads(pj) for pj in (pr.json for pr in q.recentProgress))
+        if p.get("observedMetrics", {}).get("mention_stream")
+    ]
+    assert got, "no mention_stream observed metrics in any QueryProgress"
+    assert sum(m["n_mentions"] for m in got) == spark.read.parquet(
+        str(tmp_path / "out")).count()
+    assert all(m["n_docs"] >= 1 for m in got)
+
+
+def test_stream_triples_records_per_batch_metrics(spark, tmp_path):
+    """stream_triples with state_dir leaves one durable metrics record per
+    non-empty micro-batch (n_rows = that batch's triple count), readable
+    through plans.metrics.read_metrics."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.plans.metrics import read_metrics
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stream_triples,
+    )
+
+    pages = pages_df(spark, n_pages=10).coalesce(1)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    kb, al = kb_dfs(spark)
+    pages.write.parquet(in_dir)
+    stream_triples(spark, in_dir, out_dir, str(tmp_path / "ckpt"), kb, al,
+                   timeout_sec=180, state_dir=state, reconcile_every=1)
+    m = read_metrics(spark, state).filter("stage = 'stream_triples'").collect()
+    assert len(m) == 1
+    rec = m[0]
+    assert rec["run_id"] == "batch-0" and rec["wall_s"] > 0
+    n_batch0 = spark.read.parquet(out_dir).filter("batch_id = 0").count()
+    # the record counts the batch-local write; reconcile then overwrites the
+    # sameAs leaf with the (identical, single-batch) global closure
+    assert rec["n_rows"] == n_batch0 > 0
 
 
 def test_observe_piggybacks_on_action(spark):
