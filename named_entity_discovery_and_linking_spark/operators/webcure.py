@@ -115,11 +115,14 @@ def line_dedup(
     (small by construction ⇒ auto-broadcast) → reassembly groupBy on the
     doc id (shuffle 2) with sort_array over (pos, line) structs so line
     order is restored deterministically.  Lines travel the shuffle as md5
-    hashes, never as strings.
+    hashes, never as strings; per-doc line totals come from size(split)
+    on the unexploded scan (map-only), not from aggregating exploded rows.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("_lines")
+    )
+    lines = base.select(
+        F.col(id_col), F.posexplode("_lines").alias("pos", "line")
     ).withColumn("line_h", F.md5("line"))
     hot = (
         lines.groupBy("line_h")
@@ -128,7 +131,9 @@ def line_dedup(
         .select("line_h")
     )
     kept = lines.join(hot, "line_h", "left_anti")
-    n_all = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    n_all = base.select(
+        F.col(id_col), F.size("_lines").cast("long").alias("n_lines")
+    )
     reassembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
