@@ -50,6 +50,7 @@ the north_rule's resume requirement for the streaming path.
 
 from __future__ import annotations
 
+import time
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,6 +294,7 @@ def reconcile_triples_incremental(
     Output-identical to ``reconcile_triples`` (the full recompute) — pinned
     by test_incremental_reconcile_matches_full — but mention-level reads are
     partition-pruned to new + assignment-changed batches."""
+    t0 = time.time()
     fs = get_filesystem(state_dir)
     version = _current_version(state_dir)
     state = _read_state(spark, state_dir, version)
@@ -369,9 +371,17 @@ def reconcile_triples_incremental(
     state_out["done"] = spark.createDataFrame(
         [(int(b),) for b in sorted(on_disk)], _STATE_TABLES["done"])
     _persist_state(state_out, state_dir, version + 1)
-    return {
+    stats = {
         "new_batches": new_batches,
         "changed_groups": n_changed,
         "rewritten_batches": sorted(affected),
         "dropped_leaves": sorted(dropped),
     }
+    from ..plans.metrics import write_stage_metrics
+
+    write_stage_metrics(
+        state_dir, run_id=f"v{version + 1}", stage="reconcile_incremental",
+        wall_s=time.time() - t0, n_buckets=len(affected),
+        n_rows=len(new_batches), extra=stats,
+    )
+    return stats

@@ -755,6 +755,32 @@ def test_stage_metrics_recorded_and_resume_visible(spark, tmp_path):
     assert json.loads(second["extra"])["resumed_buckets"] == 4
 
 
+def test_incremental_reconcile_records_metrics(spark, tmp_path):
+    """Each incremental reconcile pass leaves a durable metrics record whose
+    extra payload carries the pass's own stats dict."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import kb_dfs
+    from named_entity_discovery_and_linking_spark.plans.metrics import read_metrics
+    from named_entity_discovery_and_linking_spark.streaming.stream_mentions import (
+        stream_triples,
+    )
+
+    pages = pages_df(spark, n_pages=8).coalesce(1)
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    kb, al = kb_dfs(spark)
+    pages.write.parquet(in_dir)
+    stream_triples(spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                   kb, al, timeout_sec=180, state_dir=state, reconcile_every=1,
+                   incremental=True)
+    m = read_metrics(spark, state).filter("stage = 'reconcile_incremental'").collect()
+    assert len(m) == 1
+    rec = m[0]
+    extra = json.loads(rec["extra"])
+    assert rec["run_id"] == "v1" and rec["wall_s"] > 0
+    assert extra["new_batches"] == [0]
+    assert rec["n_rows"] == 1  # one new batch folded
+
+
 def test_stream_observed_metrics_in_progress(spark, tmp_path):
     """run_stream_to_table's named observe surfaces per-batch mention counts
     in QueryProgress — the streaming face of the metrics surface."""
