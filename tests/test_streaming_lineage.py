@@ -830,6 +830,27 @@ def test_stream_triples_records_per_batch_metrics(spark, tmp_path):
     assert rec["n_rows"] == n_batch0 > 0
 
 
+def test_stage_metrics_through_prefixfs_scheme(spark, tmp_path):
+    """Metrics records round-trip through a registered non-local scheme —
+    the same object-store path the claims take (no appends, unique keys)."""
+    from named_entity_discovery_and_linking_spark.plans.metrics import (
+        read_metrics,
+        write_stage_metrics,
+    )
+    from named_entity_discovery_and_linking_spark.sources.fs import (
+        PrefixFS,
+        register_scheme,
+    )
+
+    root = str(tmp_path / "bucket")
+    register_scheme("metfs", lambda: PrefixFS("metfs", root))
+    write_stage_metrics("metfs://lineage", "r1", "mentions",
+                        wall_s=1.5, n_buckets=3, n_rows=42)
+    got = read_metrics(spark, "metfs://lineage").collect()
+    assert len(got) == 1
+    assert (got[0]["run_id"], got[0]["stage"], got[0]["n_rows"]) == ("r1", "mentions", 42)
+
+
 def test_observe_piggybacks_on_action(spark):
     """observe() yields stage aggregates from the caller's own action — the
     declarative no-extra-job metrics surface."""
