@@ -60,6 +60,55 @@ def cosine_topk(
     )
 
 
+def embedding_link_scores(
+    cands: DataFrame, alpha: float = 0.8, k: int = 1,
+    mention_col: str = "mid", eid_col: str = "eid",
+    ctx_col: str = "ctx_vec", ent_col: str = "ent_vec", prior_col: str = "prior",
+) -> DataFrame:
+    """Vectorized entity-link scoring over candidate pairs: blended
+    context-embedding cosine + prior-popularity feature (the scoring family
+    the reference's rule cascade approximates with hand weights,
+    xianyang_linking/linking.py:175-202 — kept as the exact-parity path in
+    operators/linking.py; this operator is the embedding-era variant for
+    KBs that carry entity vectors).
+
+    score = alpha * cosine(ctx, ent) + (1-alpha) * prior / max(prior over
+    the mention's candidate set); top-k per mention with deterministic
+    (score desc, eid asc) ranking.  Returns (mid, eid, cos, prior_feat,
+    score, rnk).
+
+    All arithmetic is pure Column expressions (zip_with/aggregate dot
+    product — JVM codegen, no Python); cosine and the prior feature are
+    rounded to 6 dp BEFORE blending so a SQL oracle reproduces the exact
+    doubles.  One window over the candidate set keyed by mention — at
+    scale the candidate frame is already partitioned by mention id from
+    candidate generation, so the window sorts within partitions without an
+    extra exchange.
+    """
+    per_m = Window.partitionBy(mention_col)
+    cos = F.round(cosine(F.col(ctx_col), F.col(ent_col)), 6)
+    scored = (
+        cands.withColumn("cos", cos)
+        .withColumn(
+            "prior_feat",
+            F.round(F.col(prior_col) / F.max(prior_col).over(per_m), 6),
+        )
+        .withColumn(
+            "score",
+            F.round(F.lit(alpha) * F.col("cos")
+                    + F.lit(1.0 - alpha) * F.col("prior_feat"), 6),
+        )
+    )
+    rnk = Window.partitionBy(mention_col).orderBy(
+        F.col("score").desc(), F.col(eid_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= k)
+        .select(mention_col, eid_col, "cos", "prior_feat", "score", "rnk")
+    )
+
+
 def sign_bucket(vec_col, nbits: int = 8):
     """Axis-aligned sign LSH: bucket = bit-string of sign(v[i]) for the first
     nbits dims.  Deterministic, replicable in plain SQL."""

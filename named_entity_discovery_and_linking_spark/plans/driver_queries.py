@@ -1044,6 +1044,25 @@ def q_domain_stats(spark, sf_dir):
     return W.domain_stats(_synth_url5(_docs(spark, sf_dir)))
 
 
+def q_embedding_link_score(spark, sf_dir):
+    """north_star's vectorized link scoring: context-embedding cosine
+    blended with a prior-popularity feature.  Mentions = vec_id 0-9 (ctx
+    vectors), entities = vec_id 50-69 with synthetic prior (vec_id%7)+1;
+    candidate pairs where (mid+eid)%3=0 (~7 candidates each), top-3 kept."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    m = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("mid"), F.col("embedding").alias("ctx_vec")
+    )
+    e = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 70)).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("ent_vec"),
+        ((F.col("vec_id") % 7) + 1).alias("prior"),
+    )
+    cands = m.join(F.broadcast(e), (F.col("mid") + F.col("eid")) % 3 == 0)
+    return S.embedding_link_scores(cands, alpha=0.8, k=3)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1647,6 +1666,33 @@ def _stratified_sample_sql() -> str:
     )
 
 
+# blend constants spelled at full double precision (repr) so the SQL
+# parses to the exact doubles the Spark side computes with
+_EMB_LINK_SQL = f"""
+WITH m AS (SELECT vec_id AS mid, embedding::DOUBLE[] AS ctx FROM embeddings WHERE vec_id < 10),
+e AS (
+  SELECT vec_id AS eid, embedding::DOUBLE[] AS ent, (vec_id % 7) + 1 AS prior
+  FROM embeddings WHERE vec_id >= 50 AND vec_id < 70
+),
+s AS (
+  SELECT m.mid, e.eid,
+         round(list_cosine_similarity(m.ctx, e.ent), 6) AS cos,
+         round(e.prior / max(e.prior) OVER (PARTITION BY m.mid), 6) AS prior_feat
+  FROM m, e WHERE (m.mid + e.eid) % 3 = 0
+),
+r AS (
+  SELECT mid, eid, cos, prior_feat,
+         round({0.8!r} * cos + {1.0 - 0.8!r} * prior_feat, 6) AS score
+  FROM s
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY mid ORDER BY score DESC, eid ASC) AS rnk
+  FROM r
+)
+SELECT mid, eid, cos, prior_feat, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
 _ANN_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -1910,6 +1956,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
     "domain_stats": q_domain_stats,
+    "embedding_link_score": q_embedding_link_score,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
@@ -2033,6 +2080,7 @@ ORACLES = {
     "url_dedup": _url_dedup_sql(),
     "line_dedup": _line_dedup_sql(),
     "domain_stats": _domain_stats_sql(),
+    "embedding_link_score": _EMB_LINK_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,

@@ -12,6 +12,7 @@ from named_entity_discovery_and_linking_spark.operators.dedup import (
 )
 from named_entity_discovery_and_linking_spark.operators.similarity import (
     cosine_topk,
+    embedding_link_scores,
     lsh_bucketed_nn,
     sign_bucket,
 )
@@ -600,3 +601,41 @@ def test_bpe_token_count_pins(spark):
     assert out[1] == 10
     assert out[2] == 0
     assert out[3] == 3
+
+
+def test_embedding_link_scores_blend_and_rank(spark):
+    """Cosine dominates at alpha=1; prior breaks the tie at alpha=0; the
+    prior feature normalizes within each mention's own candidate set."""
+    cands = spark.createDataFrame(
+        [
+            # mention 1: e10 aligned with ctx, e11 orthogonal but popular
+            (1, 10, [1.0, 0.0], [1.0, 0.0], 1),
+            (1, 11, [1.0, 0.0], [0.0, 1.0], 4),
+            # mention 2: both candidates identical vectors, different priors
+            (2, 20, [0.0, 1.0], [0.0, 1.0], 2),
+            (2, 21, [0.0, 1.0], [0.0, 1.0], 8),
+        ],
+        "mid long, eid long, ctx_vec array<double>, ent_vec array<double>, prior long",
+    )
+    by_cos = {r["mid"]: r for r in embedding_link_scores(cands, alpha=1.0).collect()}
+    assert by_cos[1]["eid"] == 10 and by_cos[1]["cos"] == 1.0
+    by_prior = {r["mid"]: r for r in embedding_link_scores(cands, alpha=0.0).collect()}
+    assert by_prior[1]["eid"] == 11  # popularity wins when cosine is ignored
+    assert by_prior[2]["eid"] == 21 and by_prior[2]["prior_feat"] == 1.0
+    # normalization is per-mention: mention 1's max prior (4) != mention 2's (8)
+    allrows = embedding_link_scores(cands, alpha=0.5, k=2).collect()
+    feats = {(r["mid"], r["eid"]): r["prior_feat"] for r in allrows}
+    assert feats[(1, 10)] == 0.25 and feats[(2, 20)] == 0.25
+
+
+def test_embedding_link_scores_deterministic_tiebreak(spark):
+    """Equal scores rank by eid ascending — stable across partitionings."""
+    cands = spark.createDataFrame(
+        [(1, e, [1.0, 0.0], [1.0, 0.0], 3) for e in (7, 5, 9)],
+        "mid long, eid long, ctx_vec array<double>, ent_vec array<double>, prior long",
+    )
+    a = [(r["eid"], r["rnk"]) for r in
+         embedding_link_scores(cands, k=3).orderBy("rnk").collect()]
+    b = [(r["eid"], r["rnk"]) for r in
+         embedding_link_scores(cands.repartition(5), k=3).orderBy("rnk").collect()]
+    assert a == b == [(5, 1), (7, 2), (9, 3)]
