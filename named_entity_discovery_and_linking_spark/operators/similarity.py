@@ -109,12 +109,17 @@ def embedding_link_scores(
     )
 
 
-def sign_bucket(vec_col, nbits: int = 8):
-    """Axis-aligned sign LSH: bucket = bit-string of sign(v[i]) for the first
-    nbits dims.  Deterministic, replicable in plain SQL."""
+def sign_bucket(vec_col, nbits: int = 8, offset: int = 0):
+    """Axis-aligned sign LSH: bucket = bit-string of sign(v[offset + i]) for
+    nbits dims starting at ``offset``.  Deterministic, replicable in plain
+    SQL; distinct offsets give the independent tables of a multi-table
+    scheme (caller ensures offset + nbits <= dim — out-of-range dims read
+    as NULL and hash to '0', silently weakening that table)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.concat_ws(
-        "", *[F.when(F.element_at(c, i + 1) >= 0, "1").otherwise("0") for i in range(nbits)]
+        "",
+        *[F.when(F.element_at(c, offset + i + 1) >= 0, "1").otherwise("0")
+          for i in range(nbits)],
     )
 
 
@@ -171,31 +176,55 @@ def lsh_bucketed_nn(
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, nbits: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", target_bucket: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the training-data-dedup
     brief's fifth dedup mode, alongside exact/Jaccard/MinHash/SimHash):
     every pair with cosine >= threshold, candidates restricted to sign-LSH
     bucket collisions (equi-join on bucket — never corpus x corpus), exact
-    cosine verified inside the bucket.  Returns (id_a, id_b, cos) with
+    cosine verified per candidate pair.  Returns (id_a, id_b, cos) with
     id_a < id_b.  ``nbits=None`` -> adaptive width (adaptive_nbits).
 
-    Recall caveat, documented not hidden: a genuine near-dup pair whose
-    vectors differ in SIGN on one of the first nbits dimensions lands in
-    different buckets.  At dedup thresholds (cos >= 0.9) a sign flip needs
-    a near-zero component, so single-table recall is high; multiple rotated
-    tables buy the rest at k x the candidate join."""
+    Recall caveat: a genuine near-dup pair whose vectors differ in SIGN on
+    one of a table's nbits dimensions lands in different buckets.  At dedup
+    thresholds (cos >= 0.9) a sign flip needs a near-zero component, so
+    single-table recall is high; ``n_tables > 1`` is the remedy — table t
+    hashes dims [t*nbits, (t+1)*nbits) (caller ensures n_tables*nbits <=
+    dim), a pair is a candidate if ANY table collides (OR-amplification),
+    candidates are distinct-deduped BEFORE the cosine verify so each pair
+    is verified once.  Cost: n_tables bucket equi-joins + two id-keyed
+    hash joins to re-attach vectors for the verify; the single-table path
+    keeps the cheaper inline-verify plan (no re-attach joins)."""
     if nbits is None:
         nbits = adaptive_nbits(emb.count(), target_bucket)
-    b = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        sign_bucket(vec_col, nbits).alias("bucket"),
-    )
-    x, y = b.alias("x"), b.alias("y")
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if n_tables <= 1:
+        b = base.withColumn("bucket", sign_bucket("vec", nbits))
+        x, y = b.alias("x"), b.alias("y")
+        return (
+            x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid")))
+            .select(
+                F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"),
+                F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+    cand = None
+    for t in range(n_tables):
+        bt = base.withColumn("bucket", sign_bucket("vec", nbits, offset=t * nbits))
+        x, y = bt.alias("x"), bt.alias("y")
+        pairs_t = x.join(
+            y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid"))
+        ).select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    bv = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
-        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid")))
+        cand.join(a, "id_a").join(bv, "id_b")
         .select(
-            F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"),
-            F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos"),
+            "id_a", "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -1100,6 +1100,16 @@ def q_embedding_near_dups(spark, sf_dir):
     return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=None)
 
 
+def q_embedding_near_dups_multi(spark, sf_dir):
+    """Multi-table OR-amplified variant (2 tables × 8 bits over dims 1-16):
+    the documented single-table sign-flip recall remedy — any-table
+    collision makes a candidate, distinct-deduped before one verify."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, nbits=8, n_tables=2)
+
+
 # shared adaptive-width CTEs (ONE definition — the sqrt/log2 width formulas
 # must not be able to drift between the near-dup and adaptive-NN oracles)
 _BUCKET16_EXPR = "(" + " || ".join(
@@ -1148,6 +1158,29 @@ _PII_SQL = (
     "'" + T.PII_IPV4_RE + "', '<IP>', 'g'), '" + T.PII_PHONE_RE + "')) AS n_phones "
     "FROM documents"
 )
+
+def _sign_bits_sql(nbits: int, offset: int = 0) -> str:
+    return "(" + " || ".join(
+        f"(CASE WHEN embedding[{offset + i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(nbits)
+    ) + ")"
+
+
+_EMB_NEAR_DUP_MULTI_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
+         {_sign_bits_sql(8, 0)} AS b0, {_sign_bits_sql(8, 8)} AS b1
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+  FROM b x JOIN b y ON x.vid < y.vid AND (x.b0 = y.b0 OR x.b1 = y.b1)
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ax.vec, bx.vec), 6) AS cos
+FROM cand c JOIN b ax ON ax.vid = c.id_a JOIN b bx ON bx.vid = c.id_b
+WHERE round(list_cosine_similarity(ax.vec, bx.vec), 6) >= 0.4
+"""
 
 _EMB_NEAR_DUP_SQL = f"""
 WITH {_ADAPTIVE_BUCKET_CTES}
@@ -1961,6 +1994,7 @@ QUERIES = {
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_lsh_adaptive": q_ann_lsh_adaptive,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_multi": q_embedding_near_dups_multi,
     "ann_ivf": q_ann_ivf,
     "frame_sample": q_frame_sample,
     "nist_key": q_nist_key,
@@ -2085,6 +2119,7 @@ ORACLES = {
     "ann_lsh_bucket": _ANN_LSH_SQL,
     "ann_lsh_adaptive": _ANN_LSH_ADAPTIVE_SQL,
     "embedding_near_dups": _EMB_NEAR_DUP_SQL,
+    "embedding_near_dups_multi": _EMB_NEAR_DUP_MULTI_SQL,
     "ann_ivf": _ANN_IVF_SQL,
     "frame_sample": _FRAME_SAMPLE_SQL,
     "nist_key": _nist_key_sql(),

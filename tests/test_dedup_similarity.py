@@ -639,3 +639,27 @@ def test_embedding_link_scores_deterministic_tiebreak(spark):
     b = [(r["eid"], r["rnk"]) for r in
          embedding_link_scores(cands.repartition(5), k=3).orderBy("rnk").collect()]
     assert a == b == [(5, 1), (7, 2), (9, 3)]
+
+
+def test_embedding_near_dups_multi_table_recovers_sign_flip(spark):
+    """The documented single-table recall caveat and its remedy, pinned: a
+    near-dup pair with one sign flip inside table 0's dims is invisible to
+    the single-table pass but caught by the 2-table OR-amplification."""
+    from named_entity_discovery_and_linking_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    base = [0.05] + [1.0] * 15     # dim 1 barely positive
+    flip = [-0.05] + [1.0] * 15    # ...barely negative: cosine still ~0.995
+    far = [-1.0] * 16
+    emb = spark.createDataFrame(
+        [(0, base), (1, flip), (2, far)],
+        "vec_id long, embedding array<double>",
+    )
+    one = embedding_near_dup_pairs(emb, threshold=0.9, nbits=8, n_tables=1)
+    assert one.count() == 0  # sign flip in dims 1-8 separates the buckets
+    multi = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_near_dup_pairs(
+                 emb, threshold=0.9, nbits=8, n_tables=2).collect()}
+    assert set(multi) == {(0, 1)}  # table 1 (dims 9-16) collides them
+    assert multi[(0, 1)] > 0.99
