@@ -663,3 +663,18 @@ def test_embedding_near_dups_multi_table_recovers_sign_flip(spark):
                  emb, threshold=0.9, nbits=8, n_tables=2).collect()}
     assert set(multi) == {(0, 1)}  # table 1 (dims 9-16) collides them
     assert multi[(0, 1)] > 0.99
+
+
+def test_embedding_link_scores_reuses_mention_partitioning(spark):
+    """Both windows (prior max, rank) key on the mention id, so a frame
+    already partitioned by mention flows through with NO additional
+    exchange — the at-scale plan claim in the operator docstring."""
+    cands = spark.createDataFrame(
+        [(i % 5, 10 + i, [1.0, float(i)], [1.0, 0.5], i % 3 + 1) for i in range(30)],
+        "mid long, eid long, ctx_vec array<double>, ent_vec array<double>, prior long",
+    )
+    plan = (
+        embedding_link_scores(cands.repartition(8, "mid"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1  # the repartition only
