@@ -116,9 +116,12 @@ def sign_bucket(vec_col, nbits: int = 8, offset: int = 0):
     scheme (caller ensures offset + nbits <= dim — out-of-range dims read
     as NULL and hash to '0', silently weakening that table)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    # F.get (0-based) is null-safe past the array end even under ANSI mode,
+    # where element_at would throw — out-of-range dims really do read as
+    # NULL and hash to '0' as documented
     return F.concat_ws(
         "",
-        *[F.when(F.element_at(c, offset + i + 1) >= 0, "1").otherwise("0")
+        *[F.when(F.get(c, offset + i) >= 0, "1").otherwise("0")
           for i in range(nbits)],
     )
 

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 # Tracking query parameters stripped by normalize_url (the C4/ClueWeb set:
 # analytics decorations that fork one logical page into many crawl keys).
-TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# Anchored to a preceding ?/& separator (kept via backref) so 'href=x' or a
+# path segment '/ref=1/' can never match.
+TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 # Lines appearing in more than this many distinct documents are boilerplate
 # (nav bars, cookie banners, footers) and dropped by line_dedup.
@@ -59,17 +61,19 @@ def normalize_url(df: DataFrame, url_col: str = "url",
     u = F.col(url_col)
     # 1. fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # 2. lowercase scheme://host[:port] (everything before the first
-    #    path slash); regexp_replace cannot lower a backref, so rebuild:
-    prefix = F.regexp_extract(u, r"^[^/]*//[^/]*", 0)
+    # 2. lowercase scheme://host[:port] (everything before the first path
+    #    slash, query, or fragment — '?'/'#' must terminate the prefix or a
+    #    path-less url would get its query lowercased too); regexp_replace
+    #    cannot lower a backref, so rebuild:
+    prefix = F.regexp_extract(u, r"^[^/?#]*//[^/?#]*", 0)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.lit(1 << 30)))
     # 3. www.
     u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
     # 4. default ports (RE2-safe: capture the follower, no lookahead)
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", r"$1$2")
-    # 5. tracking params + separator debris
-    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    # 5. tracking params (separator kept via backref) + separator debris
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, r"$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]$", "")

@@ -1604,15 +1604,16 @@ FROM documents"""
 # webcure.normalize_url documents the rule order).
 def _norm_url_sql(url_expr: str = "url") -> str:
     u = f"regexp_replace({url_expr}, '#.*$', '')"
-    # lowercase the scheme://host[:port] prefix, keep the rest
+    # lowercase the scheme://host[:port] prefix, keep the rest ('?'/'#'
+    # terminate the prefix so a path-less url's query keeps case)
     u = (
-        f"lower(regexp_extract({u}, '^[^/]*//[^/]*')) || "
-        f"substr({u}, len(regexp_extract({u}, '^[^/]*//[^/]*')) + 1)"
+        f"lower(regexp_extract({u}, '^[^/?#]*//[^/?#]*')) || "
+        f"substr({u}, len(regexp_extract({u}, '^[^/?#]*//[^/?#]*')) + 1)"
     )
     u = f"regexp_replace({u}, '^(https?://)www\\.', '\\1')"
     u = f"regexp_replace({u}, '^(http://[^/:?#]*):80([/?#]|$)', '\\1\\2')"
     u = f"regexp_replace({u}, '^(https://[^/:?#]*):443([/?#]|$)', '\\1\\2')"
-    u = f"regexp_replace({u}, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')"
+    u = f"regexp_replace({u}, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '\\1', 'g')"
     u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
     u = f"regexp_replace({u}, '&&+', '&', 'g')"
     u = f"regexp_replace({u}, '[?&]$', '')"

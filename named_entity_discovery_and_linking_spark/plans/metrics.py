@@ -60,10 +60,18 @@ def observe(df: DataFrame, name: str, *exprs) -> tuple[DataFrame, Observation]:
 def write_stage_metrics(
     lineage_dir: str, run_id: str, stage: str, wall_s: float,
     n_buckets: int, n_rows: int, extra: dict | None = None,
+    key: str | None = None,
 ) -> None:
-    """Durably record one stage execution.  One new uniquely-named file per
-    record under ``<lineage_dir>/_metrics/`` — atomic on POSIX (write+rename
-    via write_atomic) and safe on object stores (unique key, no append)."""
+    """Durably record one stage execution.  One new file per record under
+    ``<lineage_dir>/_metrics/`` — atomic on POSIX (write+rename via
+    write_atomic) and safe on object stores (whole-object put, no append).
+
+    ``key=None`` (default) names the file uniquely per CALL — right for
+    ad-hoc runs where every invocation is a distinct event.  Pass a
+    deterministic ``key`` for work that may be REPLAYED under the same
+    identity (a checkpoint-recovered micro-batch, a re-run reconcile
+    version): the replay overwrites its own record instead of appending a
+    duplicate, keeping one record per logical execution."""
     fs = get_filesystem(lineage_dir)
     mdir = fs.join(lineage_dir, METRICS_SUBDIR)
     fs.makedirs(mdir)
@@ -72,7 +80,7 @@ def write_stage_metrics(
         "wall_s": round(wall_s, 3), "n_buckets": int(n_buckets),
         "n_rows": int(n_rows), "extra": json.dumps(extra or {}, sort_keys=True),
     }
-    fname = f"m_{stage}_{run_id}_{uuid.uuid4().hex[:8]}.json"
+    fname = f"m_{stage}_{key if key is not None else uuid.uuid4().hex[:12]}.json"
     fs.write_atomic(fs.join(mdir, fname), json.dumps(rec, sort_keys=True))
 
 
@@ -91,11 +99,11 @@ def read_metrics(spark: SparkSession, lineage_dir: str) -> DataFrame:
             continue
         try:
             r = json.loads(content)
-        except ValueError:
-            continue  # torn/foreign file: skip, never fail the reader
-        rows.append((
-            r.get("run_id"), r.get("stage"), float(r.get("ts", 0.0)),
-            float(r.get("wall_s", 0.0)), int(r.get("n_buckets", 0)),
-            int(r.get("n_rows", 0)), r.get("extra", "{}"),
-        ))
+            rows.append((
+                r.get("run_id"), r.get("stage"), float(r.get("ts", 0.0)),
+                float(r.get("wall_s", 0.0)), int(r.get("n_buckets", 0)),
+                int(r.get("n_rows", 0)), r.get("extra", "{}"),
+            ))
+        except (ValueError, TypeError, AttributeError):
+            continue  # torn/foreign/ill-typed file: skip, never fail the reader
     return spark.createDataFrame(rows, METRICS_SCHEMA)

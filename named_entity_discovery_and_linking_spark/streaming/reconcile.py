@@ -382,6 +382,6 @@ def reconcile_triples_incremental(
     write_stage_metrics(
         state_dir, run_id=f"v{version + 1}", stage="reconcile_incremental",
         wall_s=time.time() - t0, n_buckets=len(affected),
-        n_rows=len(new_batches), extra=stats,
+        n_rows=len(new_batches), extra=stats, key=f"v{version + 1}",
     )
     return stats

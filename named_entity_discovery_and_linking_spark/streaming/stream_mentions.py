@@ -150,20 +150,22 @@ def stream_triples(
             return
         links = link_mentions(m, kb, aliases, promote=False).localCheckpoint()
         triples = build_graph(m, links)[0].withColumn("batch_id", F.lit(batch_id))
-        # Observation piggybacks the triple count on the sink write itself —
+        # observe() piggybacks the triple count on the sink write itself —
         # the per-batch metrics record costs zero extra jobs.
-        from pyspark.sql import Observation
+        from ..plans.metrics import observe, write_stage_metrics
 
-        obs = Observation(f"batch_{batch_id}")
-        triples = triples.observe(obs, F.count(F.lit(1)).alias("n_triples"))
+        triples, obs = observe(
+            triples, f"batch_{batch_id}", F.count(F.lit(1)).alias("n_triples")
+        )
         write_table(triples, output_dir, partition_by=["batch_id", "pred"])
         if state_dir is not None:
-            from ..plans.metrics import write_stage_metrics
-
+            # deterministic key: a checkpoint-replayed batch overwrites its
+            # own record (idempotent, like the sink partitions) instead of
+            # appending a duplicate
             write_stage_metrics(
                 state_dir, run_id=f"batch-{batch_id}", stage="stream_triples",
                 wall_s=_time.time() - t0, n_buckets=1,
-                n_rows=int(obs.get["n_triples"]),
+                n_rows=int(obs.get["n_triples"]), key=f"batch_{batch_id}",
             )
             bid = F.lit(batch_id)
             write_table(m.withColumn("batch_id", bid),

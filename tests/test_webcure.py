@@ -41,6 +41,11 @@ def _norm(spark, url: str) -> str:
     ("https://a.com/p?ref=rss&utm_medium=m", "https://a.com/p"),
     # non-tracking params survive untouched
     ("https://a.com/p?a=1&b=2", "https://a.com/p?a=1&b=2"),
+    # 'ref=' inside another param name or a path segment must NOT match
+    ("https://a.com/p?href=x", "https://a.com/p?href=x"),
+    ("https://a.com/ref=1/page", "https://a.com/ref=1/page"),
+    # path-less url: query case preserved (prefix stops at '?')
+    ("HTTPS://A.com?Token=AbC", "https://a.com?Token=AbC"),
     # 6. trailing slash (incl. root)
     ("https://a.com/p/", "https://a.com/p"),
     ("https://a.com/", "https://a.com"),
