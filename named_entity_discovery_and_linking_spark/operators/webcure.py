@@ -158,6 +158,34 @@ def line_dedup(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document line dedup: keep only the first occurrence of each
+    distinct line inside a document, preserving order (the in-page
+    complement of the cross-document :func:`line_dedup` — repeated nav
+    fragments, doubled paragraphs from template glitches).
+
+    Returns (id, n_lines, n_kept, text_clean).  Entirely map-only: a
+    higher-order ``filter`` with an index lambda keeps lines[i] iff the
+    line is absent from the preceding prefix — no explode, no shuffle, one
+    scan at any corpus size.  Per-document cost is O(lines² · line-length)
+    worst case; web pages (10²-10³ lines) are far below where that
+    matters, and the cross-doc pass owns the pathological inputs."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(F.slice(lines, F.lit(1), i), x) == 0,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, sep).alias("text_clean"),
+    )
+
+
 def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain rollup over canonical urls:
     (domain, n_docs, n_urls) — the aggregate a domain-level block/allow

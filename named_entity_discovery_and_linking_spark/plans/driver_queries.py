@@ -1038,6 +1038,18 @@ def q_line_dedup(spark, sf_dir):
     return W.line_dedup(docs, max_df=2)
 
 
+def q_line_dedup_within(spark, sf_dir):
+    """Within-doc line dedup (map-only): every doc gets its own first-5-word
+    line planted before AND after the body, so exactly one duplicate line
+    per doc is dropped and order-preserving reassembly is value-checked."""
+    docs = _docs(spark, sf_dir)
+    head = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    docs = docs.withColumn(
+        "text", F.concat(head, F.lit("\n"), F.col("text"), F.lit("\n"), head)
+    )
+    return W.dedup_lines_within_doc(docs)
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain rollup over canonical urls (the block/allow
     decision input): 7 synthetic domains × 20 subdomains."""
@@ -1666,6 +1678,31 @@ SELECT a.doc_id, a.n_lines, coalesce(r.n_kept, 0) AS n_kept,
 FROM alln a LEFT JOIN re r USING (doc_id)"""
 
 
+_LINE_DEDUP_WITHIN_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+           || chr(10) || text || chr(10)
+           || array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t)
+),
+k AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE occ = 1) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE occ = 1) AS text_clean
+FROM k GROUP BY doc_id
+"""
+
+
 def _domain_stats_sql() -> str:
     return f"""
 WITH n AS (SELECT doc_id, {_norm_url_sql()} AS url_norm FROM ({_synth_url5_sql()})),
@@ -1989,6 +2026,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
+    "line_dedup_within": q_line_dedup_within,
     "domain_stats": q_domain_stats,
     "embedding_link_score": q_embedding_link_score,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2114,6 +2152,7 @@ ORACLES = {
     "url_normalize": _url_normalize_sql(),
     "url_dedup": _url_dedup_sql(),
     "line_dedup": _line_dedup_sql(),
+    "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
     "domain_stats": _domain_stats_sql(),
     "embedding_link_score": _EMB_LINK_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,

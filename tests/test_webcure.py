@@ -148,3 +148,77 @@ def test_domain_stats_groups_registered_domain(spark):
     rows = {r["domain"]: r for r in domain_stats(df).collect()}
     assert rows["a.com"]["n_docs"] == 2 and rows["a.com"]["n_urls"] == 2
     assert rows["b.org"]["n_docs"] == 2 and rows["b.org"]["n_urls"] == 1
+
+
+def test_dedup_lines_within_doc_keeps_first_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\nc\nb\na"),
+            (1, "x"),
+            (2, "\n\n"),  # empty lines dedup like any other line
+        ],
+        "doc_id long, text string",
+    )
+    from named_entity_discovery_and_linking_spark.operators.webcure import (
+        dedup_lines_within_doc,
+    )
+
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    assert out[0]["text_clean"] == "a\nb\nc"
+    assert out[0]["n_lines"] == 6 and out[0]["n_kept"] == 3
+    assert out[1]["text_clean"] == "x"
+    assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 1
+
+
+def test_dedup_lines_within_doc_plan_is_map_only(spark):
+    from named_entity_discovery_and_linking_spark.operators.webcure import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame([(0, "a\na")], "doc_id long, text string")
+    plan = dedup_lines_within_doc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_normalize_url_randomized_parity_with_sql_oracle(spark):
+    """300 seeded-random urls composed from every rule-relevant part
+    (case, www, ports, tracking/plain params, ref-lookalike segments,
+    fragments, trailing slashes) must normalize identically through the
+    Spark Column chain and the DuckDB SQL twin — catches engine-semantics
+    drift (backref spelling, global-replace behavior, regex classes) that
+    the fixed fixtures might miss."""
+    import random
+
+    import duckdb
+
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import (
+        _norm_url_sql,
+    )
+
+    rng = random.Random(41)
+    schemes = ["http://", "https://", "HTTP://", "HTTPS://"]
+    hosts = ["a.com", "WWW.A.Com", "www.b.example.org", "Sub.Host.NET", "c.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/p/x", "/Ref=1/Page", "/deep/path/", "/href=2"]
+    queries = ["", "?id=1", "?utm_source=s", "?href=Keep&utm_medium=m",
+               "?a=1&ref=r&b=2", "?ref=only", "?Token=AbC&gclid=g"]
+    frags = ["", "#x", "#Frag"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    from named_entity_discovery_and_linking_spark.operators.webcure import (
+        normalize_url,
+    )
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got_spark = [r["url_norm"] for r in normalize_url(df).orderBy("i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {_norm_url_sql()} FROM u ORDER BY i").fetchall()]
+    mismatches = [(u, s, d) for u, s, d in zip(urls, got_spark, got_duck) if s != d]
+    assert not mismatches, mismatches[:5]
