@@ -1,14 +1,20 @@
-"""Back-to-back A/B bench: r2 commit vs HEAD, interleaved in one window.
+"""Interleaved A/B benchmark: r4-tag vs HEAD on the same host window.
 
-VERDICT r3 "Next round #1": the r3 suite numbers drifted +10-25% vs r2 but no
-same-window comparison existed, so host drift vs software regression was an
-inference.  This script settles it: it runs each tree's own bench.py
-alternately (A,B,A,B,...) inside a single measurement window so host drift
-hits both legs equally, then reports per-query means, spreads, and the
-HEAD/r2 ratio on the overlapping queries.
+Judge r5 #3: every r5 window was probe-unhealthy (0.3-2.4 GB/s vs the
+20-41 GB/s band), so the 2.5x ann_ivf / ann_lsh_adaptive wall deltas in
+BENCH_r05.json cannot be attributed to code from absolute numbers.  An
+interleaved A/B cancels host drift by construction (the technique that
+settled r2->r3): each repetition runs BOTH sides back-to-back in fresh
+JVMs, alternating order, so slow windows hit both sides equally and the
+per-pair RATIO is the statistic.
 
-Usage: python scripts/ab_bench.py [reps]   (default 3 reps per leg)
-Writes scripts/ab_bench_result.json; the BENCH.md table is authored from it.
+Usage:
+  python scripts/ab_bench.py [A_dir] [B_dir] [reps] [query ...]
+Defaults: A=/tmp/ndl-r4-ab (a `git worktree add <r4-sha>` checkout),
+B=this repo, reps=3, queries = the disputed set.
+
+Prints one JSON line with per-(query, side, rep) walls and the
+median-of-ratios verdict per query.
 """
 
 from __future__ import annotations
@@ -21,98 +27,70 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEGS = {"r2": os.path.join(REPO, ".worktrees", "r2"), "head": REPO}
+
+CHILD = r"""
+import os, sys, time
+repo = sys.argv[1]; query = sys.argv[2]; sf = sys.argv[3]
+sys.path.insert(0, repo)
+os.chdir(repo)  # golden-path / fixture relative paths
+from named_entity_discovery_and_linking_spark.session import get_spark
+from named_entity_discovery_and_linking_spark.plans import driver_queries as DQ
+lookup = {**getattr(DQ, "BENCH_COMPAT", {}), **DQ.QUERIES}
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+spark = get_spark("ab-bench", master=f"local[{cpus}]",
+                  shuffle_partitions=2 * cpus,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+fn = lookup[query]
+# warm: full plan once at the smallest SF (codegen + analysis amortized)
+fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+t0 = time.time()
+fn(spark, sf).write.format("noop").mode("overwrite").save()
+print("WALL", time.time() - t0)
+"""
 
 
-def memcpy_probe() -> float:
-    """Single-thread memcpy GB/s — the host-drift canary used in BENCH.md."""
-    import numpy as np
-
-    a = np.ones(64 * 1024 * 1024 // 8)
-    t0 = time.time()
-    for _ in range(8):
-        b = a.copy()
-    dt = time.time() - t0
-    del b
-    return round(8 * a.nbytes / dt / 1e9, 2)
-
-
-def run_leg(tree: str) -> dict:
-    env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    env["SPARK_GRAFT_CPUS"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    t0 = time.time()
-    out = subprocess.run(
-        [sys.executable, "bench.py"], cwd=tree, env=env,
-        capture_output=True, text=True, timeout=1200,
+def run_child(repo: str, query: str, sf: str) -> float:
+    res = subprocess.run(
+        [sys.executable, "-c", CHILD, repo, query, sf],
+        capture_output=True, text=True, timeout=900,
     )
-    wall = round(time.time() - t0, 1)
-    if out.returncode != 0:
-        raise RuntimeError(
-            f"bench leg {tree!r} failed (rc={out.returncode}): {out.stderr[-2000:]}"
-        )
-    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if not lines:
-        raise RuntimeError(
-            f"bench leg {tree!r} printed no JSON line; stderr: {out.stderr[-2000:]}"
-        )
-    line = lines[-1]
-    rec = json.loads(line)
-    rec["_wall_incl_startup"] = wall
-    return rec
+    for line in res.stdout.splitlines():
+        if line.startswith("WALL"):
+            return float(line.split()[1])
+    raise RuntimeError(f"{query} in {repo} failed:\n{res.stderr[-2000:]}")
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    runs: dict[str, list[dict]] = {"r2": [], "head": []}
-    probes = [memcpy_probe()]
-    t_start = time.time()
-    for i in range(reps):
-        # alternate leg order per rep: monotone host drift WITHIN a rep would
-        # otherwise bias whichever leg always ran second
-        order = ("r2", "head") if i % 2 == 0 else ("head", "r2")
-        for name in order:
-            rec = run_leg(LEGS[name])
-            runs[name].append(rec)
-            probes.append(memcpy_probe())
-            print(f"[{i+1}/{reps}] {name}: suite={rec['value']}s "
-                  f"n_triples={rec.get('n_triples')} probe={probes[-1]}GB/s",
-                  flush=True)
+    a_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ndl-r4-ab"
+    b_dir = sys.argv[2] if len(sys.argv) > 2 else REPO
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    queries = sys.argv[4:] or ["ann_ivf", "ann_lsh_adaptive", "kg_triples"]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    common = sorted(
-        set(runs["r2"][0]["queries"]) & set(runs["head"][0]["queries"])
-    )
-    table = {}
-    for q in common:
-        a = [r["queries"][q] for r in runs["r2"]]
-        b = [r["queries"][q] for r in runs["head"]]
-        table[q] = {
-            "r2_mean": round(statistics.mean(a), 3),
-            "r2_spread": round(max(a) - min(a), 3),
-            "head_mean": round(statistics.mean(b), 3),
-            "head_spread": round(max(b) - min(b), 3),
-            "ratio": round(statistics.mean(b) / statistics.mean(a), 3),
+    out = {"sf": sf, "a": a_dir, "b": b_dir, "pairs": {}, "verdict": {}}
+    for q in queries:
+        pairs = []
+        for rep in range(reps):
+            # alternate order within the pair to cancel slow-start bias
+            order = [("A", a_dir), ("B", b_dir)] if rep % 2 == 0 else [
+                ("B", b_dir), ("A", a_dir)]
+            t = {}
+            for side, repo in order:
+                t[side] = run_child(repo, q, sf)
+            pairs.append({"rep": rep, "A_sec": round(t["A"], 3),
+                          "B_sec": round(t["B"], 3),
+                          "ratio_B_over_A": round(t["B"] / t["A"], 4)})
+            print(f"# {q} rep{rep}: A={t['A']:.2f}s B={t['B']:.2f}s "
+                  f"ratio={t['B'] / t['A']:.3f}", file=sys.stderr)
+        ratios = [p["ratio_B_over_A"] for p in pairs]
+        out["pairs"][q] = pairs
+        out["verdict"][q] = {
+            "median_ratio_B_over_A": round(statistics.median(ratios), 4),
+            "regressed": statistics.median(ratios) > 1.15,
         }
-    suite_a = [sum(r["queries"][q] for q in common) for r in runs["r2"]]
-    suite_b = [sum(r["queries"][q] for q in common) for r in runs["head"]]
-    result = {
-        "window_sec": round(time.time() - t_start, 1),
-        "reps": reps,
-        "memcpy_probes_gbps": probes,
-        "common_suite": {
-            "r2_mean": round(statistics.mean(suite_a), 2),
-            "r2_runs": [round(x, 2) for x in suite_a],
-            "head_mean": round(statistics.mean(suite_b), 2),
-            "head_runs": [round(x, 2) for x in suite_b],
-            "ratio": round(statistics.mean(suite_b) / statistics.mean(suite_a), 3),
-        },
-        "per_query": table,
-        "runs": runs,
-    }
-    out_path = os.path.join(REPO, "scripts", "ab_bench_result.json")
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps({k: result[k] for k in ("common_suite", "memcpy_probes_gbps")}))
+    out["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
