@@ -2045,20 +2045,28 @@ def q_token_pipeline(spark, sf_dir):
 
 
 def q_doc_profile(spark, sf_dir):
-    """lang_id + quality_score column-merged on doc_id (both map-only)."""
+    """lang_id + quality_score column-merged on doc_id (both map-only).
+
+    The id join here (and in doc_hashes / text_stats below) is EVIDENCE
+    PACKAGING for the oracle window, not a recommended composition: a real
+    pipeline calls each operator as an independent map-only pass (or
+    inlines both column sets in one select) — it would never join two
+    frames derived from the same scan just to sit side by side."""
     docs = _docs(spark, sf_dir)
     return T.lang_id(docs).join(T.quality_score(docs), "doc_id")
 
 
 def q_doc_hashes(spark, sf_dir):
-    """simhash + order-sensitive fingerprint column-merged on doc_id."""
+    """simhash + order-sensitive fingerprint column-merged on doc_id
+    (same evidence-packaging caveat as q_doc_profile)."""
     docs = _docs(spark, sf_dir)
     sim = D.simhash(docs).withColumnRenamed("doc", "doc_id")
     return sim.join(T.fingerprint(docs), "doc_id")
 
 
 def q_text_stats(spark, sf_dir):
-    """token_stats + repetition_stats column-merged on doc_id."""
+    """token_stats + repetition_stats column-merged on doc_id
+    (same evidence-packaging caveat as q_doc_profile)."""
     docs = _docs(spark, sf_dir)
     return T.token_stats(docs).join(T.repetition_stats(docs, n=2), "doc_id")
 

@@ -166,3 +166,47 @@ def test_sampling_and_quality_filter_are_map_only(spark, sf_docs):
         assert "Exchange" not in plan
         assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython / mapInPandas
         assert "codegen id" in plan  # formatted-mode whole-stage-codegen marker
+
+
+def test_registered_domain_is_map_only(spark, sf_docs):
+    """PSL eTLD+1 extraction must stay a literal when-chain inside the
+    scan's codegen span — no join, no Exchange (the frozen-subset
+    contract; the full PSL swaps in as a broadcast join, never a
+    shuffle)."""
+    from named_entity_discovery_and_linking_spark.operators.webcure import (
+        registered_domain,
+    )
+
+    docs = spark.read.parquet(sf_docs).select(
+        registered_domain(F.col("url")).alias("dom")
+    )
+    plan = _plan(docs)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "codegen id" in plan
+
+
+def test_mode_union_queries_add_no_extra_shuffle(spark, sf_docs):
+    """The r6 mode-union registry merges must cost exactly the union of
+    their branches: `sampling` (two map-only filters) stays Exchange-free,
+    and `token_pipeline` is one hash-aggregate exchange over the scan."""
+    import named_entity_discovery_and_linking_spark.plans.driver_queries as DQ
+    from named_entity_discovery_and_linking_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(sf_docs).withColumnRenamed("url", "doc_id")
+    sampling = hash_sample(docs, 0.25).select(
+        F.lit("hash").alias("mode"), "doc_id"
+    ).unionByName(
+        stratified_sample(docs, {"eng": 0.5}, default_rate=0.1).select(
+            F.lit("stratified").alias("mode"), "doc_id"
+        )
+    )
+    plan = _plan(sampling)
+    assert "Exchange" not in plan  # two map-only filters, a union, no shuffle
+    tp = DQ.q_token_pipeline(spark, "/root/testdata/sf0.001")
+    plan_tp = _plan(tp)
+    # one logical shuffle: the (lang, word) aggregate; the _docs repartition
+    # adds its explicit round-robin-by-id exchange before it
+    assert plan_tp.count("hashpartitioning(lang") == 1
