@@ -60,6 +60,16 @@ def main(argv=None):
     ap.add_argument("--map-file", dest="map_file", default=None,
                     help="audit CSV of (name, concept) pairs "
                          "(linking.py:769-807; type from filename)")
+    ap.add_argument("--curate", action="store_true",
+                    help="corpus-curation mode (plans/curation.curate_corpus): "
+                         "url hygiene -> line dedup -> quality filter -> "
+                         "content dedup -> decontamination -> sampling; writes "
+                         "flags/curated/report tables under --out")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of (bench_id, text) eval items to "
+                         "decontaminate against (empty set if omitted)")
+    ap.add_argument("--sample-rate", dest="sample_rate", type=float, default=1.0,
+                    help="deterministic keep rate for the final hash sample")
     ap.add_argument("--out", default=None, help="output root (tables written under it)")
     ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
     ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
@@ -137,6 +147,37 @@ def main(argv=None):
 
     if not args.pages and not args.ltf_dir:
         ap.error("--pages or --ltf-dir is required (or use --run-csr)")
+    if args.curate:
+        if not args.pages:
+            ap.error("--curate requires --pages")
+        from pyspark.sql import functions as F
+
+        from .plans.curation import curate_corpus
+
+        docs = spark.read.parquet(args.pages)
+        id_col = "doc_id" if "doc_id" in docs.columns else "url"
+        if "url" not in docs.columns:
+            # no crawl url: synthesize a unique one so the url-dedup stage
+            # degenerates to a no-op instead of failing the contract
+            docs = docs.withColumn(
+                "url", F.concat(F.lit("id://"), F.col(id_col).cast("string"))
+            )
+        if args.benchmark:
+            bench = spark.read.parquet(args.benchmark)
+        else:
+            bench = spark.createDataFrame([], "bench_id string, text string")
+        flags, curated, report = curate_corpus(
+            docs, bench, id_col=id_col, sample_rate=args.sample_rate,
+        )
+        write_table(flags, os.path.join(args.out, "curation_flags"))
+        write_table(curated, os.path.join(args.out, "curated"))
+        write_table(report, os.path.join(args.out, "curation_report"))
+        funnel = {
+            r["drop_stage"]: r["n"]
+            for r in flags.groupBy("drop_stage").agg(F.count("*").alias("n")).collect()
+        }
+        print(f"done (curate): funnel {funnel} -> {args.out}")
+        return 0
     if args.stream:
         if not args.pages:
             ap.error("--stream requires --pages (a parquet directory the "

@@ -74,6 +74,26 @@ def test_curated_and_report_match_flags(pipeline):
     assert int(report.n_docs.sum()) == len(kept_ids)
 
 
+def test_curate_cli_writes_tables_and_prints_funnel(spark, tmp_path, capsys):
+    """--curate job mode: documents-shaped input (no url column -> the
+    synthesized id:// urls make url-dedup a no-op), no benchmark, full
+    sample rate; writes flags/curated/report tables under --out."""
+    from named_entity_discovery_and_linking_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").limit(60).write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main(["--curate", "--pages", src, "--out", out]) == 0
+    assert "done (curate)" in capsys.readouterr().out
+    flags = spark.read.parquet(f"{out}/curation_flags")
+    assert flags.count() == 60
+    # unique synthesized urls: nothing may drop at the url stage
+    assert flags.filter("drop_stage = 'url'").count() == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.count() == flags.filter("final_keep").count()
+    assert spark.read.parquet(f"{out}/curation_report").count() >= 1
+
+
 def test_decisions_are_partitioning_independent(pipeline, spark):
     docs, flags, _, _ = pipeline
     flags17, _, _ = curate_corpus(
