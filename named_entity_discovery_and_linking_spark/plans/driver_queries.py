@@ -1726,20 +1726,23 @@ def _registered_domain_sql(host_expr: str) -> str:
     PUBLIC_SUFFIXES constant as the Spark side."""
     arities = sorted({s.count(".") + 1 for s in W.PUBLIC_SUFFIXES}, reverse=True)
 
-    def last(k):  # last k labels of ls, clamped like the Spark side
-        return f"array_to_string(list_slice(ls, greatest(len(ls) - {k - 1}, 1), len(ls)), '.')"
+    def last(k):  # last k labels of __ls, clamped like the Spark side
+        return ("array_to_string(list_slice(__ls, "
+                f"greatest(len(__ls) - {k - 1}, 1), len(__ls)), '.')")
 
     cases = []
     for k in arities:
         sfx = _sql_list(s for s in W.PUBLIC_SUFFIXES if s.count(".") + 1 == k)
         cases.append(
-            f"WHEN len(ls) > {k} AND {last(k)} IN ({sfx}) THEN {last(k + 1)}"
+            f"WHEN len(__ls) > {k} AND {last(k)} IN ({sfx}) THEN {last(k + 1)}"
         )
     chain = " ".join(cases)
+    # underscore-prefixed inner aliases: host_expr may be a bare column
+    # name, and an inner alias with the same name would shadow it
     return (
-        f"(SELECT CASE {chain} WHEN len(ls) >= 2 THEN {last(2)} "
-        f"ELSE host END FROM (SELECT string_split({host_expr}, '.') AS ls, "
-        f"{host_expr} AS host))"
+        f"(SELECT CASE {chain} WHEN len(__ls) >= 2 THEN {last(2)} "
+        f"ELSE __h END FROM (SELECT string_split({host_expr}, '.') AS __ls, "
+        f"{host_expr} AS __h))"
     )
 
 

@@ -270,3 +270,47 @@ def test_normalize_url_randomized_parity_with_sql_oracle(spark):
         f"SELECT {_norm_url_sql()} FROM u ORDER BY i").fetchall()]
     mismatches = [(u, s, d) for u, s, d in zip(urls, got_spark, got_duck) if s != d]
     assert not mismatches, mismatches[:5]
+
+
+def test_registered_domain_randomized_parity_with_sql_oracle(spark):
+    """300 seeded-random hosts over every PSL rule arity (plain TLD,
+    registry ccSLD, private-domain rule, unknown TLD, suffix-only,
+    single-label, deep subdomain chains) must extract the same registered
+    domain through the Spark when-chain and the DuckDB CASE twin — the
+    same engine-parity sweep normalize_url gets."""
+    import random
+
+    import duckdb
+
+    from named_entity_discovery_and_linking_spark.operators.webcure import (
+        PUBLIC_SUFFIXES,
+        registered_domain,
+    )
+    from named_entity_discovery_and_linking_spark.plans.driver_queries import (
+        _registered_domain_sql,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(43)
+    labels = ["a", "bb", "shop", "x1", "deep", "sub"]
+    suffixes = list(PUBLIC_SUFFIXES) + ["unknowntld", "zz", "weird.pair"]
+    hosts = []
+    for _ in range(300):
+        depth = rng.randint(0, 3)
+        host = ".".join(rng.choice(labels) for _ in range(depth))
+        sfx = rng.choice(suffixes)
+        hosts.append(f"{host}.{sfx}" if host else sfx)
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                               "i long, host string")
+    got_spark = [
+        r["reg"]
+        for r in df.select("i", registered_domain(F.col("host")).alias("reg"))
+        .orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (i BIGINT, host VARCHAR)")
+    con.executemany("INSERT INTO h VALUES (?, ?)", list(enumerate(hosts)))
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {_registered_domain_sql('host')} FROM h ORDER BY i").fetchall()]
+    mismatches = [(h, s, d) for h, s, d in zip(hosts, got_spark, got_duck) if s != d]
+    assert not mismatches, mismatches[:5]
