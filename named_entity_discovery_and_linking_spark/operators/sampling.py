@@ -67,3 +67,42 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     default = F.lit(_threshold(default_rate))
     thr = default if thr is None else thr.otherwise(default)
     return df.filter(_bucket(key_col, seed) < thr)
+
+
+def budget_sample(df: DataFrame, budgets: dict[str, int],
+                  token_col: str, strata_col: str = "lang",
+                  key_col: str = "doc_id", seed: int = 11,
+                  default_budget: int = 0) -> DataFrame:
+    """Corpus mixing to per-stratum TOKEN budgets: keep a deterministic
+    subset of each stratum whose token mass approximates ``budgets[stratum]``
+    (e.g. "2e11 tokens of en, 5e10 of de, drop the rest").
+
+    Two-phase, scale-first shape:
+      1. one tiny aggregation computes each stratum's total token count
+         (map-side combinable; |strata| rows, collected to the driver — a
+         bounded control-plane set like the lineage bucket ids);
+      2. the keep rate ``budget / total`` (clamped to [0, 1]) is applied
+         as the SAME map-only hash-threshold filter as
+         :func:`stratified_sample`.
+    The alternative — an exact per-stratum running-total cutoff — needs a
+    per-stratum ordered window over data-scale rows: a giant sort per
+    stratum with head-language skew, exactly the shape BENCH.md's window
+    lessons forbid.  The hash-rate form is exact in expectation, within
+    ±max(token_col) of the budget in practice at corpus scale, and keeps
+    the decision a pure function of (seed, key): resumable, re-shardable,
+    and engine-portable like every other sampler here.
+
+    Returns the kept rows.  Deterministic: same (seed, budgets, input) =>
+    same subset, regardless of partitioning.
+    """
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t")).collect()
+    }
+    rates = {
+        s: min(1.0, budgets.get(s, default_budget) / t) if t else 0.0
+        for s, t in totals.items()
+    }
+    return stratified_sample(df, rates, strata_col=strata_col,
+                             key_col=key_col, seed=seed, default_rate=0.0)

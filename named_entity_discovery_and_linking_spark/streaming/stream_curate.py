@@ -1,0 +1,105 @@
+"""Streaming (incremental) corpus curation: the growing-crawl counterpart
+of plans/curation.curate_corpus.
+
+A web corpus arrives as crawl batches, and the expensive dedup decisions
+are CROSS-batch: a page recrawled today must lose to the copy ingested
+last month.  Batch-mode curate_corpus would recompute over all history per
+ingest; this module keeps the seen-sets in Structured Streaming state
+instead, so each micro-batch does O(batch) work:
+
+  * url-level dedup     — first canonical url wins across all batches
+                          (streaming dropDuplicates on url_norm);
+  * exact content dedup — first md5(text) wins across all batches;
+  * quality filter      — gopher_filter, stateless map-only;
+  * sampling            — deterministic hash_sample, stateless map-only.
+
+Near-dup (MinHash/Jaccard) and decontamination stay in the periodic batch
+pass (plans/curation.py), mirroring how stream_triples handles sameAs
+reconciliation: cheap exact/hygiene decisions move to the stream, the
+quadratic-family decisions run on a schedule.
+
+State sizing at 10^12 documents: streaming ``dropDuplicates`` keeps one
+state row per distinct key, forever, in the state store — that is the
+SEMANTICS a crawl seen-set needs (a recrawl one year later is still a
+dup), so state is bounded by distinct pages, not time.  The state row is
+(key hash -> null) in RocksDB on a real cluster; keys here are md5 hex
+(32 B) rather than page text, so 10^12 pages ≈ tens of TB of state spread
+over the cluster's state stores — large but linear, and shardable by the
+same key the shuffle already partitions on.  If the product decision is
+"recrawls older than N days may re-enter", swap in
+``dropDuplicatesWithinWatermark`` and state becomes O(pages per N days).
+
+Reference: the reference pipeline has no streaming path (SURVEY §2.9 —
+beyond-reference section); this extends it the same way stream_mentions
+extends E1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_sample
+from ..operators.textstats import _gopher_flags
+from ..operators.webcure import normalize_url
+
+DOCS_DDL = "doc_id long, url string, text string, lang string"
+
+
+def read_doc_stream(spark: SparkSession, input_dir: str,
+                    max_files: int = 16) -> DataFrame:
+    """File-source document stream (same backpressure shape as
+    read_page_stream)."""
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def curate_stream(docs_stream: DataFrame, sample_rate: float = 1.0) -> DataFrame:
+    """The incremental curation plan over a streaming documents frame:
+    url dedup -> exact content dedup (both cross-batch, state-backed) ->
+    gopher keep-filter -> deterministic sample.  Returns the surviving
+    documents plus their decision columns (url_norm, content_hash)."""
+    d = normalize_url(docs_stream)
+    # cross-batch seen-sets: state keyed on the dedup hash, first row wins
+    # deterministically WITHIN a batch too (micro-batch dropDuplicates is
+    # per-partition-arrival-ordered, so pre-aggregate the batch min doc_id
+    # is NOT needed: recrawl pairs land in different batches by
+    # construction of the crawl; same-batch ties are broken by the
+    # state-store insert, documented as arrival order)
+    d = d.dropDuplicates(["url_norm"])
+    d = d.withColumn("content_hash", F.md5("text")).dropDuplicates(
+        ["content_hash"]
+    )
+    # quality gate as a direct Column predicate (_gopher_flags is the same
+    # expression set gopher_filter selects) — a gopher_filter-frame join
+    # here would be a stream-stream self-join needing watermarks for no
+    # semantic gain; the filter is the single-pass streaming form
+    d = d.filter(_gopher_flags("text")["keep"])
+    return hash_sample(d, sample_rate)
+
+
+def run_curate_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    sample_rate: float = 1.0, timeout_sec: int = 120,
+):
+    """availableNow runner: process every file currently in input_dir,
+    appending survivors to output_dir; the checkpoint carries the
+    seen-set state so a later invocation (or a restart) continues the
+    SAME dedup history exactly-once."""
+    docs = read_doc_stream(spark, input_dir)
+    curated = curate_stream(docs, sample_rate).observe(
+        "curate_stream",
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -678,3 +678,34 @@ def test_embedding_link_scores_reuses_mention_partitioning(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1  # the repartition only
+
+
+def test_budget_sample_hits_token_budgets(spark):
+    """budget_sample keeps ~budget tokens per stratum, deterministically:
+    a 100%-budget stratum survives whole, an over-budget stratum is cut to
+    ~budget mass, an unlisted stratum drops entirely, and the kept set is
+    partitioning-independent."""
+    from named_entity_discovery_and_linking_spark.operators.sampling import (
+        budget_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "fr"),
+             10 + (i % 7)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    tot = {r["lang"]: r["t"] for r in df.groupBy("lang")
+           .agg(F.sum("n_tokens").alias("t")).collect()}
+    budgets = {"en": int(tot["en"] * 0.3), "de": tot["de"] * 2}
+    kept = budget_sample(df, budgets, token_col="n_tokens")
+    got = {r["lang"]: r["t"] for r in kept.groupBy("lang")
+           .agg(F.sum("n_tokens").alias("t")).collect()}
+    # de: budget >= total -> rate clamps to 1.0, whole stratum kept
+    assert got["de"] == tot["de"]
+    # fr: unlisted -> default budget 0 -> dropped
+    assert "fr" not in got
+    # en: within 15% of the asked budget at this scale
+    assert abs(got["en"] - budgets["en"]) / budgets["en"] < 0.15
+    # determinism across partitionings
+    k1 = {r["doc_id"] for r in kept.collect()}
+    k2 = {r["doc_id"] for r in budget_sample(
+        df.repartition(17), budgets, token_col="n_tokens").collect()}
+    assert k1 == k2
