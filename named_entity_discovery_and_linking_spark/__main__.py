@@ -70,6 +70,11 @@ def main(argv=None):
                          "decontaminate against (empty set if omitted)")
     ap.add_argument("--sample-rate", dest="sample_rate", type=float, default=1.0,
                     help="deterministic keep rate for the final hash sample")
+    ap.add_argument("--stream-curate", dest="stream_curate", action="store_true",
+                    help="incremental curation over a growing crawl dir: "
+                         "cross-batch url/content dedup state lives in the "
+                         "stream checkpoint, so re-running against the same "
+                         "--out continues the dedup history")
     ap.add_argument("--out", default=None, help="output root (tables written under it)")
     ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
     ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
@@ -147,6 +152,19 @@ def main(argv=None):
 
     if not args.pages and not args.ltf_dir:
         ap.error("--pages or --ltf-dir is required (or use --run-csr)")
+    if args.stream_curate:
+        if not args.pages:
+            ap.error("--stream-curate requires --pages (the watched crawl dir)")
+        from .streaming.stream_curate import run_curate_stream
+
+        run_curate_stream(
+            spark, args.pages, os.path.join(args.out, "curated"),
+            os.path.join(args.out, "_curate_checkpoint"),
+            sample_rate=args.sample_rate,
+        )
+        n = spark.read.parquet(os.path.join(args.out, "curated")).count()
+        print(f"done (stream-curate): {n} docs kept -> {args.out}")
+        return 0
     if args.curate:
         if not args.pages:
             ap.error("--curate requires --pages")

@@ -68,6 +68,19 @@ def test_cross_batch_dedup_state_survives_restart(spark, dirs):
     assert all(r["n"] == 1 for r in counts)
 
 
+def test_stream_curate_cli(spark, dirs, capsys):
+    src, out_root, _ = dirs
+    _write(spark, src, [(1, "https://a.com/p1", _body(1), "en")])
+    from named_entity_discovery_and_linking_spark.__main__ import main
+
+    assert main(["--stream-curate", "--pages", src, "--out", out_root]) == 0
+    assert "done (stream-curate): 1 docs" in capsys.readouterr().out
+    # same --out again: the checkpoint continues the dedup history
+    _write(spark, src, [(4, "https://a.com/p1?ref=x", _body(9), "en")])
+    assert main(["--stream-curate", "--pages", src, "--out", out_root]) == 0
+    assert "done (stream-curate): 1 docs" in capsys.readouterr().out
+
+
 def test_fresh_checkpoint_forgets_state(spark, dirs, tmp_path):
     """Control: the cross-batch drop really is the checkpoint state — a
     fresh checkpoint over the same input keeps the url-recrawl winner by
