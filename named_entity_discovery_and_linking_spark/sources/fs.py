@@ -76,6 +76,14 @@ class _PosixClaims:
 
         shutil.rmtree(self._local(path), ignore_errors=True)
 
+    def rename(self, src: str, dst: str) -> None:
+        """Same-store rename of a file OR directory (POSIX rename; dst
+        must not exist).  Object stores have NO atomic directory rename —
+        an adapter should raise and callers needing a table swap go
+        through Iceberg's snapshot commit instead (see io.compact_table's
+        format dispatch)."""
+        os.rename(self._local(src), self._local(dst))
+
     def try_create_claim(self, path: str, content: str) -> bool:
         """Atomic create-if-absent (O_CREAT|O_EXCL).  True on acquisition."""
         try:

@@ -42,3 +42,64 @@ def bucketize(df: DataFrame, key: str = "url", n_buckets: int = 64) -> DataFrame
     xxhash64(url) to defuse hot-domain skew).  The bucket is BOTH the
     physical partition of the output tables and the lineage unit."""
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+def compact_table(spark: SparkSession, path: str, target_mb: int = 256) -> dict:
+    """Small-file compaction for append-mode table directories — the
+    operational pass every streaming sink needs: each availableNow
+    micro-batch appends its own parquet files, and at crawl scale a table
+    accumulates millions of KB-sized files whose open/footer costs swamp
+    the scan (the classic small-files problem).
+
+    Rewrites the directory into ceil(bytes / target_mb) files and swaps it
+    in.  On Iceberg this is ``rewrite_data_files`` (snapshot-atomic —
+    readers never see a gap); the parquet emulation here is a maintenance
+    window: write compacted data beside the table, two directory renames,
+    drop the old.  A claim file fences concurrent compactors (same
+    primitive as the lineage resume fencing); readers racing the swap on
+    plain parquet can observe a missing-directory beat — documented
+    emulation semantics, not a scale design (at 100 TB you run Iceberg
+    and the commit is atomic).
+
+    Returns {files_before, files_after, bytes} for observability.
+
+    Streaming-sink caveat: a LIVE streaming output dir carries a
+    ``_spark_metadata`` commit log that the rewrite does not preserve —
+    compact a stream's output only after the stream is finished (the
+    availableNow pattern) or via the Iceberg sink, whose snapshot log
+    replaces the file-listing contract entirely.
+    """
+    import math
+
+    from .fs import get_filesystem
+
+    fs = get_filesystem(path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(fs.spark_path(path))
+    hfs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = hfs.getContentSummary(hpath).getLength()
+
+    def _n_files() -> int:
+        return sum(1 for f in fs.listdir(path) if f.endswith(".parquet"))
+
+    files_before = _n_files()
+    n_out = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    stats = {"files_before": files_before, "bytes": int(size)}
+    if files_before <= n_out:
+        return {**stats, "files_after": files_before, "skipped": True}
+
+    claim = path.rstrip("/") + ".__compact_claim"
+    if not fs.try_create_claim(claim, "compacting"):
+        raise RuntimeError(f"another compaction holds {claim}")
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    try:
+        df = spark.read.parquet(fs.spark_path(path))
+        fs.rmtree(tmp)
+        df.repartition(n_out).write.mode("overwrite").parquet(fs.spark_path(tmp))
+        fs.rename(path, old)
+        fs.rename(tmp, path)
+        fs.rmtree(old)
+    finally:
+        fs.break_claim_if(claim, "compacting")
+    return {**stats, "files_after": _n_files(), "skipped": False}

@@ -50,3 +50,44 @@ def test_bucketize_deterministic_and_bounded(spark):
              for r in bucketize(df.select("url").repartition(3), n_buckets=8).collect()}
     assert rows == again                      # content-derived, not order-derived
     assert all(0 <= b < 8 for b in rows.values())
+
+
+def test_compact_table_rewrites_small_files(spark, tmp_path):
+    """compact_table: many tiny appended files -> few files, identical
+    rows, claim released afterwards; an already-compact dir is a no-op."""
+    from named_entity_discovery_and_linking_spark.sources.fs import get_filesystem
+    from named_entity_discovery_and_linking_spark.sources.io import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).withColumn("v", F.col("id") * 2)
+    for i in range(8):  # 8 append jobs -> many small files
+        df.filter(F.col("id") % 8 == i).coalesce(2).write.mode("append").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    stats = compact_table(spark, path, target_mb=256)
+    assert stats["files_before"] > stats["files_after"] >= 1
+    assert not stats["skipped"]
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+    # claim released: a second compaction is a clean no-op, not a lock error
+    stats2 = compact_table(spark, path, target_mb=256)
+    assert stats2["skipped"]
+    fs = get_filesystem(path)
+    assert not fs.exists(path + ".__compact_claim")
+
+
+def test_compact_table_refuses_concurrent_claim(spark, tmp_path):
+    from named_entity_discovery_and_linking_spark.sources.fs import get_filesystem
+    from named_entity_discovery_and_linking_spark.sources.io import compact_table
+
+    path = str(tmp_path / "t2")
+    for i in range(4):
+        spark.range(50).write.mode("append").parquet(path)
+    fs = get_filesystem(path)
+    assert fs.try_create_claim(path + ".__compact_claim", "other")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="another compaction"):
+            compact_table(spark, path, target_mb=256)
+    finally:
+        fs.break_claim_if(path + ".__compact_claim", "other")
