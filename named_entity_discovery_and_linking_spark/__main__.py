@@ -186,6 +186,8 @@ def main(argv=None):
             bench = spark.createDataFrame([], "bench_id string, text string")
         flags, curated, report = curate_corpus(
             docs, bench, id_col=id_col, sample_rate=args.sample_rate,
+            # pages-shaped input: latest crawl wins the recrawl collapse
+            ts_col="warc_ts" if "warc_ts" in docs.columns else None,
         )
         write_table(flags, os.path.join(args.out, "curation_flags"))
         write_table(curated, os.path.join(args.out, "curated"))

@@ -142,21 +142,36 @@ def normalize_url(df: DataFrame, url_col: str = "url",
 
 
 def url_dedup(df: DataFrame, id_col: str = "doc_id",
-              url_col: str = "url") -> DataFrame:
+              url_col: str = "url", ts_col: str | None = None) -> DataFrame:
     """Collapse recrawls: one row per canonical url —
-    (url_norm, n_docs, keep_id) where keep_id is the smallest ``id_col``
-    (deterministic survivor; "first crawl" is undefined under a
-    distributed scan, same argument as DEVIATIONS #11).
+    (url_norm, n_docs, keep_id).
 
-    One map-side-combinable groupBy on the normalized url; no joins.
+    Survivor policy: with ``ts_col`` (the input contract's ``warc_ts``),
+    the LATEST crawl wins — the survivor a freshness-oriented corpus
+    wants — with the smallest id breaking timestamp ties (NULL timestamps
+    lose to any real one).  Without a timestamp column, smallest ``id_col``
+    (deterministic; "first crawl" is undefined under a distributed scan,
+    same argument as DEVIATIONS #11).
+
+    Either way one map-side-combinable groupBy on the normalized url (the
+    timestamped form aggregates max(struct(ts, -id)) — an argmax without
+    a window), no joins.
     """
-    return (
-        normalize_url(df, url_col)
-        .groupBy("url_norm")
-        .agg(
+    normed = normalize_url(df, url_col)
+    if ts_col is None:
+        return normed.groupBy("url_norm").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keep_id"),
         )
+    best = F.max(
+        F.struct(
+            # NULL ts sorts first under max's NULL-smallest struct order
+            F.col(ts_col).alias("ts"), (-F.col(id_col)).alias("neg_id")
+        )
+    )
+    return normed.groupBy("url_norm").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (-best.getField("neg_id")).alias("keep_id"),
     )
 
 

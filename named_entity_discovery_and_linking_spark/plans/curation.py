@@ -50,6 +50,7 @@ def curate_corpus(
     url_col: str = "url",
     text_col: str = "text",
     strata_col: str = "lang",
+    ts_col: str | None = None,
     line_max_df: int = 2,
     jaccard_threshold: float = 0.6,
     decontam_n: int = 8,
@@ -79,10 +80,11 @@ def curate_corpus(
     # consumer and the single-JVM test rig runs out of execution memory.
     # On a cluster this is the standard persisted-stage handoff.
 
-    # 1. url canonicalize + recrawl collapse: survivor = min id per url_norm
-    keep_url = url_dedup(docs, id_col=id_col, url_col=url_col).select(
-        F.col("keep_id").alias(id_col)
-    )
+    # 1. url canonicalize + recrawl collapse: survivor = latest ts_col
+    # (warc_ts) when given, else min id per url_norm
+    keep_url = url_dedup(
+        docs, id_col=id_col, url_col=url_col, ts_col=ts_col
+    ).select(F.col("keep_id").alias(id_col))
     d1 = docs.join(keep_url, id_col)
 
     # 2. cross-document boilerplate line dedup (rewrites the text)

@@ -314,3 +314,34 @@ def test_registered_domain_randomized_parity_with_sql_oracle(spark):
         f"SELECT {_registered_domain_sql('host')} FROM h ORDER BY i").fetchall()]
     mismatches = [(h, s, d) for h, s, d in zip(hosts, got_spark, got_duck) if s != d]
     assert not mismatches, mismatches[:5]
+
+
+def test_url_dedup_timestamped_keeps_latest_crawl(spark):
+    """With ts_col (the input contract's warc_ts) the LATEST crawl wins,
+    min-id breaks ties, and NULL timestamps lose to any real one; the
+    argmax is a max(struct) aggregate, not a window."""
+    import datetime as dt
+
+    from named_entity_discovery_and_linking_spark.operators.webcure import url_dedup
+
+    t = lambda d: dt.datetime(2026, 1, d)
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/p", t(1)),
+            (2, "https://A.com/p#x", t(9)),     # latest -> survivor
+            (3, "https://a.com/p?utm_source=s", t(5)),
+            (4, "https://b.com/q", None),        # null ts loses...
+            (5, "https://b.com/q?ref=r", t(2)),  # ...to any real ts
+            (6, "https://c.com/r", t(3)),
+            (7, "https://c.com/r#y", t(3)),      # ts tie -> min id (6)
+        ],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    rows = {r["url_norm"]: r["keep_id"]
+            for r in url_dedup(df, ts_col="warc_ts").collect()}
+    assert rows == {"https://a.com/p": 2, "https://b.com/q": 5,
+                    "https://c.com/r": 6}
+    # default policy unchanged: min id
+    rows_min = {r["url_norm"]: r["keep_id"] for r in url_dedup(df).collect()}
+    assert rows_min == {"https://a.com/p": 1, "https://b.com/q": 4,
+                        "https://c.com/r": 6}
