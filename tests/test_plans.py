@@ -210,3 +210,13 @@ def test_mode_union_queries_add_no_extra_shuffle(spark, sf_docs):
     # one logical shuffle: the (lang, word) aggregate; the _docs repartition
     # adds its explicit round-robin-by-id exchange before it
     assert plan_tp.count("hashpartitioning(lang") == 1
+
+
+def test_session_pins_north_rule_confs(spark):
+    """The north_rule's explicitly named knobs must survive session-builder
+    refactors: AQE with skew-join splitting, explicit shuffle partitions,
+    Arrow-batched Python."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 0
