@@ -9,6 +9,15 @@
 #   sh scripts/watch_and_scale.sh [max_minutes] [N] > log 2>&1
 set -u
 cd "$(dirname "$0")/.."
+# Single-instance lock: two concurrent watchers would both fire the scaling
+# pair in the same healthy window and contaminate each other's legs.  mkdir
+# is atomic on POSIX; the trap releases the lock on any exit.
+LOCK=/tmp/watch_and_scale.lock
+if ! mkdir "$LOCK" 2>/dev/null; then
+    echo "$(date -u +%FT%TZ) another watcher holds $LOCK; exiting"
+    exit 2
+fi
+trap 'rmdir "$LOCK"' EXIT
 MAX_MIN=${1:-120}
 N=${2:-2}
 DEADLINE=$(( $(date +%s) + MAX_MIN * 60 ))
