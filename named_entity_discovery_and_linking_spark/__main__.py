@@ -75,6 +75,14 @@ def main(argv=None):
                          "cross-batch url/content dedup state lives in the "
                          "stream checkpoint, so re-running against the same "
                          "--out continues the dedup history")
+    ap.add_argument("--skew-report", dest="skew_report", default=None, metavar="KEY",
+                    help="one-shot diagnostic: print hot-key stats and the "
+                         "recommended salt factor for shuffling --pages on "
+                         "KEY (e.g. lang, url), then exit")
+    ap.add_argument("--graph-stats", dest="graph_stats", action="store_true",
+                    help="after the batch build, print a JSON summary of the "
+                         "materialized nodes/edges tables (degree "
+                         "distribution, per-relation counts, top hubs)")
     ap.add_argument("--out", default=None, help="output root (tables written under it)")
     ap.add_argument("--kb", default=None, help="entities.tab path (fixture KB if omitted)")
     ap.add_argument("--aliases", default=None, help="alternate_names.tab path")
@@ -129,7 +137,7 @@ def main(argv=None):
                     print(f"{name}\t{typ}\tnone")  # the REPL prints 'none'
         return 0
 
-    if not args.out:
+    if not args.out and not args.skew_report:
         ap.error("--out is required for job modes")
     if args.run_csr:
         if not args.in_dir:
@@ -235,6 +243,14 @@ def main(argv=None):
     else:
         pages = spark.read.parquet(args.pages)
 
+    if args.skew_report:
+        import json
+
+        from .plans.metrics import skew_report
+
+        print(json.dumps(skew_report(pages, args.skew_report), sort_keys=True))
+        return 0
+
     lineage_dir = os.path.join(args.out, "_lineage")
     mentions = run_stage(
         spark, pages, "mentions", discover_mentions, args.out, lineage_dir, args.buckets
@@ -270,6 +286,17 @@ def main(argv=None):
     write_table(triples, os.path.join(args.out, "triples"))
     write_table(nodes, os.path.join(args.out, "nodes"))
     write_table(edges, os.path.join(args.out, "edges"))
+
+    if args.graph_stats:
+        import json
+
+        from .plans.graph import graph_stats
+
+        st = graph_stats(
+            spark.read.parquet(os.path.join(args.out, "nodes")),
+            spark.read.parquet(os.path.join(args.out, "edges")),
+        )
+        print(json.dumps(st, sort_keys=True))
 
     n = spark.read.parquet(os.path.join(args.out, "triples")).count()
     print(f"done: {n} triples -> {args.out}")

@@ -47,6 +47,46 @@ def build_triples(mentions: DataFrame, links: DataFrame, clusters: DataFrame,
     return t_type.unionByName(t_anchor).unionByName(t_link).unionByName(t_same)
 
 
+def graph_stats(nodes: DataFrame, edges: DataFrame, top_k: int = 10) -> dict:
+    """Post-materialize sanity summary of the nodes/edges tables — the check
+    a KG consumer runs right after ``build_graph`` before shipping the
+    tables (reference analog: the xref-count prints around
+    xianyang_linking/linking.py:557-700's CSR emit).
+
+    Returns a bounded dict::
+
+        {n_nodes, n_edges, edges_by_rel: {rel: count},
+         dst_degree: {p50, p99, max},        # mention-support per entity
+         top_hubs: [{dst, rows}, ...]}       # top_k entities by in-degree
+
+    Plan shape: one map-side-combinable groupBy per aggregate; the in-degree
+    distribution reuses a single (dst -> count) frame for both the
+    percentile summary and the deterministic top-k (ties break on dst).
+    Every collect is one row or O(top_k) — safe at any graph size.
+    """
+    n_nodes = nodes.count()
+    rel_rows = edges.groupBy("rel").agg(F.count(F.lit(1)).alias("n")).collect()
+    edges_by_rel = {r["rel"]: int(r["n"]) for r in rel_rows}
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
+    drow = deg.agg(
+        F.expr("percentile_approx(n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        F.max("n").alias("mx"),
+    ).collect()[0]
+    hubs = deg.orderBy(F.desc("n"), "dst").limit(top_k).collect()
+    return {
+        "n_nodes": int(n_nodes),
+        "n_edges": sum(edges_by_rel.values()),
+        "edges_by_rel": edges_by_rel,
+        "dst_degree": {
+            "p50": int(drow["p50"] or 0),
+            "p99": int(drow["p99"] or 0),
+            "max": int(drow["mx"] or 0),
+        },
+        "top_hubs": [{"dst": r["dst"], "rows": int(r["n"])} for r in hubs],
+    }
+
+
 def build_graph(mentions: DataFrame, links: DataFrame):
     """Full E3: returns (triples, nodes, edges) DataFrames.
 

@@ -22,10 +22,12 @@ Two complementary surfaces, both Spark-idiomatic and object-store-safe:
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.fs import get_filesystem
 
@@ -55,6 +57,66 @@ def observe(df: DataFrame, name: str, *exprs) -> tuple[DataFrame, Observation]:
     """
     obs = Observation(name)
     return df.observe(obs, *exprs), obs
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str] | str,
+    target_rows_per_task: int = 1_000_000, top_k: int = 10,
+) -> dict:
+    """Diagnose key skew before a shuffle on ``key_cols`` and recommend a
+    salt factor (the north_rule handles hot-domain skew with salted url-hash
+    repartitioning — sources/io.py:bucketize; this is the instrument that
+    says WHEN and HOW WIDE to salt).
+
+    Returns a bounded driver-side dict::
+
+        {n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+         skew_ratio,            # max key count / mean key count
+         recommended_salt,      # ceil(max_key_rows / target_rows_per_task)
+         hot_keys: [{key, rows, share}, ...]}   # top_k, deterministic order
+
+    Plan shape: one map-side-combinable groupBy produces the per-key counts;
+    the summary aggregate and the top-k each run one action over that frame
+    (two scans of the input — this is an on-demand diagnostic, not a hot
+    path; point it at an already-materialized table, or sample first, when
+    the scan itself is expensive).  Everything collected is O(top_k) or a
+    single row, so the driver footprint is bounded at any corpus size.
+    Deterministic: ties in the top-k break on the key value, no rand().
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    srow = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+    ).collect()[0]
+    n_keys = int(srow["n_keys"] or 0)
+    n_rows = int(srow["n_rows"] or 0)
+    max_rows = int(srow["max_key_rows"] or 0)
+    hot = (
+        counts.orderBy(F.desc("n"), *keys).limit(top_k).collect()
+        if n_keys else []
+    )
+    mean = (n_rows / n_keys) if n_keys else 0.0
+    return {
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "max_key_rows": max_rows,
+        "p50_key_rows": int(srow["p50"] or 0),
+        "p99_key_rows": int(srow["p99"] or 0),
+        "skew_ratio": round(max_rows / mean, 2) if mean else 0.0,
+        "recommended_salt": max(1, math.ceil(max_rows / target_rows_per_task)),
+        "hot_keys": [
+            {
+                "key": {k: r[k] for k in keys},
+                "rows": int(r["n"]),
+                "share": round(int(r["n"]) / n_rows, 4) if n_rows else 0.0,
+            }
+            for r in hot
+        ],
+    }
 
 
 def write_stage_metrics(

@@ -212,6 +212,67 @@ def test_mode_union_queries_add_no_extra_shuffle(spark, sf_docs):
     assert plan_tp.count("hashpartitioning(lang") == 1
 
 
+def test_skew_report_recommends_salt_for_hot_key(spark):
+    """skew_report must identify the hot key deterministically and size the
+    salt factor from the max key count, with bounded driver output."""
+    from named_entity_discovery_and_linking_spark.plans.metrics import skew_report
+
+    rows = [("hot.example", i) for i in range(60)]
+    rows += [(f"d{k:02d}.example", i) for k in range(20) for i in range(2)]
+    df = spark.createDataFrame(rows, "domain string, i int")
+
+    rep = skew_report(df, "domain", target_rows_per_task=10, top_k=3)
+    assert rep["n_rows"] == 100 and rep["n_keys"] == 21
+    assert rep["max_key_rows"] == 60
+    assert rep["recommended_salt"] == 6  # ceil(60 / 10)
+    assert rep["hot_keys"][0] == {
+        "key": {"domain": "hot.example"}, "rows": 60, "share": 0.6,
+    }
+    assert len(rep["hot_keys"]) == 3
+    assert rep["skew_ratio"] > 10  # 60 vs mean 100/21
+
+    # uniform frame: salt collapses to 1
+    uni = spark.createDataFrame([(f"k{i}",) for i in range(8)], "k string")
+    assert skew_report(uni, ["k"], target_rows_per_task=10)["recommended_salt"] == 1
+
+
+def test_graph_stats_degree_summary(spark):
+    from named_entity_discovery_and_linking_spark.plans.graph import graph_stats
+
+    nodes = spark.createDataFrame(
+        [("E1", "Alpha"), ("E2", "Beta"), ("E3", "Gamma")],
+        "node_id string, canonical_name string",
+    )
+    edges = spark.createDataFrame(
+        [("m1", "aida:linksTo", "E1", 0.9, "u1"),
+         ("m2", "aida:linksTo", "E1", 0.8, "u2"),
+         ("m3", "aida:linksTo", "E1", 0.7, "u3"),
+         ("m4", "aida:sameAs", "E2", 1.0, "u4")],
+        "src string, rel string, dst string, confidence double, url string",
+    )
+    st = graph_stats(nodes, edges, top_k=2)
+    assert st["n_nodes"] == 3 and st["n_edges"] == 4
+    assert st["edges_by_rel"] == {"aida:linksTo": 3, "aida:sameAs": 1}
+    assert st["dst_degree"]["max"] == 3
+    assert st["top_hubs"] == [{"dst": "E1", "rows": 3}, {"dst": "E2", "rows": 1}]
+
+
+def test_skew_report_cli_mode(spark, tmp_path, capsys):
+    """--skew-report KEY prints the diagnostic JSON over --pages and exits
+    without requiring --out (no tables written)."""
+    import json
+
+    from named_entity_discovery_and_linking_spark.__main__ import main
+    from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+
+    src = str(tmp_path / "pages.parquet")
+    pages_df(spark, n_pages=50).write.parquet(src)
+    assert main(["--skew-report", "lang", "--pages", src]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] == 50 and rep["recommended_salt"] >= 1
+    assert rep["hot_keys"][0]["key"].keys() == {"lang"}
+
+
 def test_session_pins_north_rule_confs(spark):
     """The north_rule's explicitly named knobs must survive session-builder
     refactors: AQE with skew-join splitting, explicit shuffle partitions,
