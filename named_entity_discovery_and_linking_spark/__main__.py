@@ -79,6 +79,10 @@ def main(argv=None):
                     help="one-shot diagnostic: print hot-key stats and the "
                          "recommended salt factor for shuffling --pages on "
                          "KEY (e.g. lang, url), then exit")
+    ap.add_argument("--ntriples", action="store_true",
+                    help="also serialize the triples table as RDF N-Triples "
+                         "text under <out>/triples_nt/ (standard KG-loader "
+                         "interchange)")
     ap.add_argument("--graph-stats", dest="graph_stats", action="store_true",
                     help="after the batch build, print a JSON summary of the "
                          "materialized nodes/edges tables (degree "
@@ -286,6 +290,10 @@ def main(argv=None):
     write_table(triples, os.path.join(args.out, "triples"))
     write_table(nodes, os.path.join(args.out, "nodes"))
     write_table(edges, os.path.join(args.out, "edges"))
+    if args.ntriples:
+        from .sources.io import write_ntriples
+
+        write_ntriples(triples, os.path.join(args.out, "triples_nt"))
 
     if args.graph_stats:
         import json

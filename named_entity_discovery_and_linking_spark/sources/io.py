@@ -44,6 +44,68 @@ def bucketize(df: DataFrame, key: str = "url", n_buckets: int = 64) -> DataFrame
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
 
 
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _nt_escape_literal(c):
+    """N-Triples string-literal escaping (grammar: ECHAR) — backslash first,
+    then quote and the control characters.  Pure Column, no UDF."""
+    for ch, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                    ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(ch), F.lit(esc))
+    return c
+
+
+def _nt_encode_iri(c):
+    """Percent-encode the characters the N-Triples IRIREF production forbids
+    unescaped (space, angle brackets, quote, backslash, braces, pipe, caret,
+    backtick).  Our mids/eids are URL-derived tokens, so these are rare but
+    possible.  %-first so later replacements are not double-encoded.
+    ``F.replace`` is the literal (non-regex) replace — JVM codegen."""
+    for ch, enc in (("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                    ('"', "%22"), ("\\", "%5C"), ("{", "%7B"), ("}", "%7D"),
+                    ("|", "%7C"), ("^", "%5E"), ("`", "%60")):
+        c = F.replace(c, F.lit(ch), F.lit(enc))
+    return c
+
+
+def write_ntriples(triples: DataFrame, path: str,
+                   base: str = "http://example.org/ndl/") -> None:
+    """Serialize the triples table to RDF N-Triples (one statement per
+    line) — the standard interchange the reference's CSR JSON is not
+    (SURVEY §1.1-12; linking.py:557-700 emits CSR; downstream KG loaders
+    speak N-Triples/N-Quads).
+
+    Mapping: subjects are mention IRIs under ``<base>mention/``;
+    ``rdf:type`` keeps its W3C predicate IRI with the type as a ``<base>
+    type/`` IRI; ``aida:linksTo`` / ``aida:sameAs`` become ``<base>``
+    predicates with entity-IRI objects; ``aida:anchorOf`` keeps its
+    surface string as an escaped literal.
+
+    Plan shape: one pure-Column projection (escape/encode chains are
+    literal ``F.replace``, JVM codegen) then ``write.text`` — map-only,
+    no shuffle, linear at any corpus size."""
+    subj = F.concat(F.lit(f"<{base}mention/"), _nt_encode_iri(F.col("subj")), F.lit(">"))
+    pred = F.when(
+        F.col("pred") == "rdf:type", F.lit(f"<{RDF_TYPE_IRI}>")
+    ).otherwise(
+        F.concat(F.lit(f"<{base}"),
+                 F.regexp_replace("pred", "^aida:", ""), F.lit(">"))
+    )
+    obj = (
+        F.when(F.col("pred") == "rdf:type",
+               F.concat(F.lit(f"<{base}type/"), _nt_encode_iri(F.col("obj")), F.lit(">")))
+        .when(F.col("pred") == "aida:anchorOf",
+              F.concat(F.lit('"'), _nt_escape_literal(F.col("obj")), F.lit('"')))
+        .otherwise(
+            F.concat(F.lit(f"<{base}entity/"), _nt_encode_iri(F.col("obj")), F.lit(">")))
+    )
+    lines = triples.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+
+
 def compact_table(spark: SparkSession, path: str, target_mb: int = 256) -> dict:
     """Small-file compaction for append-mode table directories — the
     operational pass every streaming sink needs: each availableNow

@@ -91,3 +91,65 @@ def test_compact_table_refuses_concurrent_claim(spark, tmp_path):
             compact_table(spark, path, target_mb=256)
     finally:
         fs.break_claim_if(path + ".__compact_claim", "other")
+
+
+def test_write_ntriples_escaping_and_mapping(spark, tmp_path):
+    """N-Triples sink: pred mapping (rdf:type -> W3C IRI, anchorOf ->
+    literal, linksTo/sameAs -> entity IRIs), ECHAR literal escaping, and
+    IRIREF percent-encoding must produce parseable lines."""
+    from named_entity_discovery_and_linking_spark.sources.io import write_ntriples
+
+    triples = spark.createDataFrame(
+        [
+            ("m1", "rdf:type", "PER", 0.9, "u1", 0, 3),
+            ("m1", "aida:anchorOf", 'say "hi"\n\tok \\ done', 0.9, "u1", 0, 3),
+            ("m1", "aida:linksTo", "E 1<x>", 0.8, "u1", 0, 3),
+            ("m2", "aida:sameAs", "E2", 1.0, "u2", 4, 8),
+        ],
+        "subj string, pred string, obj string, conf double, "
+        "url string, char_begin int, char_end int",
+    )
+    out = str(tmp_path / "nt")
+    write_ntriples(triples, out)
+    lines = sorted(r.value for r in spark.read.text(out).collect())
+    base = "http://example.org/ndl/"
+    assert lines == sorted([
+        f"<{base}mention/m1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{base}type/PER> .",
+        f'<{base}mention/m1> <{base}anchorOf> "say \\"hi\\"\\n\\tok \\\\ done" .',
+        f"<{base}mention/m1> <{base}linksTo> <{base}entity/E%201%3Cx%3E> .",
+        f"<{base}mention/m2> <{base}sameAs> <{base}entity/E2> .",
+    ])
+    # every line matches the N-Triples statement grammar
+    import re
+
+    pat = re.compile(r'^<[^<>"{}|^`\\\x00-\x20]+> <[^<>"{}|^`\\\x00-\x20]+> '
+                     r'(<[^<>"{}|^`\\\x00-\x20]+>|"(?:[^"\\\n\r]|\\.)*") \.$')
+    for ln in lines:
+        assert pat.match(ln), ln
+
+
+def test_write_ntriples_roundtrip_from_build_graph(spark):
+    """The real triples frame serializes without loss: one line per triple,
+    no unescaped quotes/newlines leak through."""
+    import tempfile
+
+    from named_entity_discovery_and_linking_spark.fixtures.generator import (
+        kb_dfs,
+        pages_df,
+    )
+    from named_entity_discovery_and_linking_spark.operators.linking import link_mentions
+    from named_entity_discovery_and_linking_spark.operators.mentions import discover_mentions
+    from named_entity_discovery_and_linking_spark.plans.graph import build_graph
+    from named_entity_discovery_and_linking_spark.sources.io import write_ntriples
+
+    pages = pages_df(spark, n_pages=12)
+    kb, al = kb_dfs(spark)
+    m = discover_mentions(pages).localCheckpoint()
+    triples, _, _ = build_graph(m, link_mentions(m, kb, al).localCheckpoint())
+    n = triples.count()
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/nt"
+        write_ntriples(triples, out)
+        got = spark.read.text(out)
+        assert got.count() == n
+        assert got.filter(~F.col("value").rlike(r" \.$")).count() == 0
