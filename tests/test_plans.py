@@ -281,3 +281,45 @@ def test_session_pins_north_rule_confs(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 0
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """north_rule: 'AQE skew-join handling' — prove the runtime path actually
+    engages, not just that the conf is set: a sort-merge join with one hot
+    key must show a skewed AQEShuffleRead in the final adaptive plan once
+    the skew thresholds are scaled down to fixture size."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        # scaled to fixture bytes (defaults are 256MB/64MB)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 90% of rows share key 0; pad must be incompressible (md5 chain),
+        # or lz4 shrinks the hot shuffle partition below any threshold
+        big = (
+            spark.range(0, 60_000)
+            .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(0))
+                        .otherwise(F.col("id") % 997))
+            .withColumn("pad", F.concat(
+                *[F.md5((F.col("id") + i).cast("string")) for i in range(4)]))
+        )
+        dim = spark.range(0, 1_000).select(F.col("id").alias("k"),
+                                           (F.col("id") * 2).alias("v"))
+        joined = big.join(dim, "k")
+        # collect() (not count()) so we inspect the execution that actually
+        # ran — count() plans its own separate query
+        assert len(joined.collect()) == 60_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "skewed" in final_plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
