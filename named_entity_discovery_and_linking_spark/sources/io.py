@@ -58,14 +58,15 @@ def _nt_escape_literal(c):
 
 def _nt_encode_iri(c):
     """Percent-encode the characters the N-Triples IRIREF production forbids
-    unescaped (space, angle brackets, quote, backslash, braces, pipe, caret,
-    backtick).  Our mids/eids are URL-derived tokens, so these are rare but
-    possible.  %-first so later replacements are not double-encoded.
-    ``F.replace`` is the literal (non-regex) replace — JVM codegen."""
-    for ch, enc in (("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
-                    ('"', "%22"), ("\\", "%5C"), ("{", "%7B"), ("}", "%7D"),
-                    ("|", "%7C"), ("^", "%5E"), ("`", "%60")):
-        c = F.replace(c, F.lit(ch), F.lit(enc))
+    unescaped: every control/space in \\x00-\\x20 (a raw newline here would
+    split the statement line), angle brackets, quote, backslash, braces,
+    pipe, caret, backtick.  Our mids/eids are URL-derived tokens, so these
+    are rare but possible.  %-first so later replacements are not
+    double-encoded.  ``F.replace`` is the literal (non-regex) replace — the
+    whole chain stays one JVM codegen projection."""
+    forbidden = ["%"] + [chr(i) for i in range(0x21)] + list('<>"\\{}|^`')
+    for ch in forbidden:
+        c = F.replace(c, F.lit(ch), F.lit(f"%{ord(ch):02X}"))
     return c
 
 

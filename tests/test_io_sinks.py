@@ -153,3 +153,51 @@ def test_write_ntriples_roundtrip_from_build_graph(spark):
         got = spark.read.text(out)
         assert got.count() == n
         assert got.filter(~F.col("value").rlike(r" \.$")).count() == 0
+
+
+def test_write_ntriples_randomized_lossless_roundtrip(spark, tmp_path):
+    """Randomized sweep (seeded): arbitrary nasty literals and entity ids
+    must survive serialize -> parse -> unescape byte-identically.  One
+    DataFrame for all cases (not per-example Spark jobs)."""
+    import random
+    import re
+    import urllib.parse
+
+    from named_entity_discovery_and_linking_spark.sources.io import write_ntriples
+
+    rng = random.Random(20260818)
+    alphabet = (
+        'abc XYZ 123 "quote" \\ \n \r \t <angle> {brace} |pipe| ^caret^ `tick` '
+        "%percent% é中文\U0001f600"
+    )
+    cases = []
+    for i in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        cases.append((f"m{i}", "aida:anchorOf" if i % 2 else "aida:linksTo", s))
+    rows = [(m, p, o, 1.0, "u", 0, 1) for m, p, o in cases]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, conf double, "
+              "url string, char_begin int, char_end int")
+    out = str(tmp_path / "nt_rand")
+    write_ntriples(triples, out)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert len(lines) == len(cases)
+
+    lit_re = re.compile(r'^<([^>]*)> <[^>]*> "((?:[^"\\]|\\.)*)" \.$', re.S)
+    iri_re = re.compile(r'^<([^>]*)> <[^>]*> <([^>]*)> \.$')
+    unesc = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+    got = {}
+    for ln in lines:
+        m = lit_re.match(ln)
+        if m:
+            body = re.sub(r"\\.", lambda mo: unesc[mo.group(0)], m.group(2))
+        else:
+            m = iri_re.match(ln)
+            assert m, ln
+            body = urllib.parse.unquote(
+                m.group(2).rsplit("/entity/", 1)[1] if "/entity/" in m.group(2)
+                else m.group(2))
+        mid = urllib.parse.unquote(m.group(1).rsplit("/mention/", 1)[1])
+        got[mid] = body
+    for mid, _, obj in cases:
+        assert got[mid] == obj, (mid, repr(obj), repr(got[mid]))
