@@ -75,6 +75,12 @@ def main(argv=None):
                          "cross-batch url/content dedup state lives in the "
                          "stream checkpoint, so re-running against the same "
                          "--out continues the dedup history")
+    ap.add_argument("--takedown", default=None, metavar="URLS_FILE",
+                    help="one-shot: remove every row derived from the urls "
+                         "listed in URLS_FILE (one per line) from the "
+                         "materialized tables under --out; bucket-partitioned "
+                         "tables are rewritten only in the affected url-hash "
+                         "buckets; orphaned nodes are GC'd")
     ap.add_argument("--skew-report", dest="skew_report", default=None, metavar="KEY",
                     help="one-shot diagnostic: print hot-key stats and the "
                          "recommended salt factor for shuffling --pages on "
@@ -143,6 +149,16 @@ def main(argv=None):
 
     if not args.out and not args.skew_report:
         ap.error("--out is required for job modes")
+    if args.takedown:
+        import json
+
+        from .plans.takedown import takedown_urls
+
+        with open(args.takedown) as fh:
+            urls = [ln.strip() for ln in fh if ln.strip()]
+        removed = takedown_urls(spark, args.out, urls, n_buckets=args.buckets)
+        print(json.dumps(removed, sort_keys=True))
+        return 0
     if args.run_csr:
         if not args.in_dir:
             ap.error("--run-csr requires --in-dir")

@@ -1,0 +1,106 @@
+"""URL takedown propagation (plans/takedown.py): per-url removal across
+the materialized tables, bucket-pruned rewrites, node GC, idempotence."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_entity_discovery_and_linking_spark.__main__ import main
+from named_entity_discovery_and_linking_spark.plans.takedown import takedown_urls
+
+BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """One real batch build (mentions/kb_links bucketed, links/triples/
+    nodes/edges flat) shared by the tests."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+
+    td = tmp_path_factory.mktemp("takedown")
+    src, out = str(td / "pages"), str(td / "out")
+    pages_df(spark, n_pages=24).write.parquet(src)
+    assert main(["--pages", src, "--out", out,
+                 "--buckets", str(BUCKETS)]) == 0
+    return out
+
+
+def _urls_with_rows(spark, out):
+    rows = (spark.read.parquet(f"{out}/triples")
+            .groupBy("url").count().orderBy("url").collect())
+    return [r["url"] for r in rows]
+
+
+def test_takedown_removes_every_derived_row(spark, built):
+    urls = _urls_with_rows(spark, built)
+    victims = urls[:2]
+    before = {
+        t: spark.read.parquet(f"{built}/{t}").count()
+        for t in ("mentions", "kb_links", "links", "triples", "edges", "nodes")
+    }
+    removed = takedown_urls(spark, built, victims, n_buckets=BUCKETS)
+    for t in ("mentions", "kb_links", "links", "triples", "edges"):
+        df = spark.read.parquet(f"{built}/{t}")
+        assert df.filter(F.col("url").isin(victims)).count() == 0, t
+        assert df.count() == before[t] - removed[t], t
+        assert removed[t] > 0, f"expected rows removed from {t}"
+    # node GC: every surviving node is still referenced by an edge, and
+    # the removal count is consistent
+    nodes = spark.read.parquet(f"{built}/nodes")
+    live = spark.read.parquet(f"{built}/edges").select(
+        F.col("dst").alias("node_id")).distinct()
+    assert nodes.join(live, "node_id", "left_anti").count() == 0
+    assert nodes.count() == before["nodes"] - removed["nodes"]
+    # survivors untouched
+    assert spark.read.parquet(f"{built}/triples") \
+        .filter(~F.col("url").isin(victims)).count() == before["triples"] - removed["triples"]
+
+
+def test_takedown_rewrites_only_affected_buckets(spark, built):
+    """The O(affected-buckets) contract: bucket dirs the takedown set does
+    not hash into keep their exact files (names + mtimes)."""
+    urls = _urls_with_rows(spark, built)
+    victim = urls[-1]
+    affected = spark.createDataFrame([(victim,)], "url string").select(
+        F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).cast("int").alias("b")
+    ).collect()[0]["b"]
+
+    def snapshot(table):
+        snap = {}
+        for d in os.listdir(f"{built}/{table}"):
+            if d.startswith("bucket=") and d != f"bucket={affected}":
+                full = f"{built}/{table}/{d}"
+                snap[d] = sorted(
+                    (f, os.stat(f"{full}/{f}").st_mtime_ns)
+                    for f in os.listdir(full) if not f.startswith("_")
+                )
+        return snap
+
+    pre = {t: snapshot(t) for t in ("mentions", "kb_links")}
+    takedown_urls(spark, built, [victim], n_buckets=BUCKETS)
+    for t in ("mentions", "kb_links"):
+        assert snapshot(t) == pre[t], f"{t}: unaffected bucket was rewritten"
+
+
+def test_takedown_idempotent_and_empty_noop(spark, built):
+    urls = _urls_with_rows(spark, built)
+    victims = urls[:2]
+    takedown_urls(spark, built, victims, n_buckets=BUCKETS)  # may be a repeat
+    again = takedown_urls(spark, built, victims, n_buckets=BUCKETS)
+    assert all(v == 0 for v in again.values()), again
+    assert takedown_urls(spark, built, [], n_buckets=BUCKETS) == {}
+
+
+def test_takedown_cli(spark, built, tmp_path, capsys):
+    urls = _urls_with_rows(spark, built)
+    victim = urls[len(urls) // 2]
+    f = tmp_path / "takedown.txt"
+    f.write_text(victim + "\n\n")
+    assert main(["--takedown", str(f), "--out", built,
+                 "--buckets", str(BUCKETS)]) == 0
+    removed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert removed["triples"] > 0
+    assert spark.read.parquet(f"{built}/triples") \
+        .filter(F.col("url") == victim).count() == 0
