@@ -154,8 +154,8 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id",
     same argument as DEVIATIONS #11).
 
     Either way one map-side-combinable groupBy on the normalized url (the
-    timestamped form aggregates max(struct(ts, -id)) — an argmax without
-    a window), no joins.
+    timestamped form aggregates min(struct(-unix_micros(ts), id)) — an
+    argmax without a window), no joins.
     """
     normed = normalize_url(df, url_col)
     if ts_col is None:
@@ -163,15 +163,18 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keep_id"),
         )
-    best = F.max(
-        F.struct(
-            # NULL ts sorts first under max's NULL-smallest struct order
-            F.col(ts_col).alias("ts"), (-F.col(id_col)).alias("neg_id")
-        )
+    # (max ts, then min id) in ONE min(struct) aggregate: negate the
+    # timestamp (integer microseconds), keep the id un-negated — so this
+    # works for STRING ids too (--curate over pages-shaped input uses the
+    # url itself as the id; negating it is an invalid numeric cast under
+    # ANSI).  NULL ts maps to +2^62 so it loses to any real timestamp.
+    neg_ts = F.coalesce(
+        -F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(1 << 62)
     )
+    best = F.min(F.struct(neg_ts.alias("neg_ts"), F.col(id_col).alias("id")))
     return normed.groupBy("url_norm").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (-best.getField("neg_id")).alias("keep_id"),
+        best.getField("id").alias("keep_id"),
     )
 
 

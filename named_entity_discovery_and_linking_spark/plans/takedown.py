@@ -42,8 +42,11 @@ from pyspark.sql.functions import broadcast
 
 from ..sources.fs import get_filesystem
 
-# tables rewritten by url; nodes handled separately (GC pass)
-URL_TABLES = ("mentions", "kb_links", "links", "triples", "edges")
+# tables rewritten by url; nodes handled separately (GC pass).  Tables
+# missing from the output root, or without a url column
+# (curation_report), are skipped.
+URL_TABLES = ("mentions", "kb_links", "links", "triples", "edges",
+              "curation_flags", "curated")
 
 
 def _affected_buckets(urls_df: DataFrame, n_buckets: int) -> list[int]:

@@ -104,3 +104,27 @@ def test_takedown_cli(spark, built, tmp_path, capsys):
     assert removed["triples"] > 0
     assert spark.read.parquet(f"{built}/triples") \
         .filter(F.col("url") == victim).count() == 0
+
+
+def test_takedown_covers_curation_tables_and_claim_fences(spark, built, tmp_path):
+    """Curation outputs carry urls too; and a held claim must refuse a
+    concurrent takedown rather than double-rewrite."""
+    from named_entity_discovery_and_linking_spark.sources.fs import get_filesystem
+
+    urls = _urls_with_rows(spark, built)
+    victim = urls[3 % len(urls)]
+    spark.createDataFrame(
+        [(victim, True), ("u-other", False)], "url string, final_keep boolean"
+    ).write.mode("overwrite").parquet(f"{built}/curated")
+    removed = takedown_urls(spark, built, [victim], n_buckets=BUCKETS)
+    assert removed["curated"] == 1
+    assert spark.read.parquet(f"{built}/curated").count() == 1
+
+    fs = get_filesystem(built)
+    claim = fs.join(built, ".__takedown_claim")
+    assert fs.try_create_claim(claim, "other-driver")
+    try:
+        with pytest.raises(RuntimeError, match="takedown"):
+            takedown_urls(spark, built, [victim], n_buckets=BUCKETS)
+    finally:
+        fs.break_claim_if(claim, "other-driver")

@@ -345,3 +345,27 @@ def test_url_dedup_timestamped_keeps_latest_crawl(spark):
     rows_min = {r["url_norm"]: r["keep_id"] for r in url_dedup(df).collect()}
     assert rows_min == {"https://a.com/p": 1, "https://b.com/q": 4,
                         "https://c.com/r": 6}
+
+
+def test_url_dedup_timestamped_string_ids(spark):
+    """Regression: --curate over pages-shaped input uses the url itself as
+    the doc id — the ts-argmax tiebreak must not numerically negate a
+    string id (ANSI cast crash)."""
+    import datetime as dt
+
+    from named_entity_discovery_and_linking_spark.operators.webcure import url_dedup
+
+    t = lambda d: dt.datetime(2026, 2, d)
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/p", "https://a.com/p", t(1)),
+            ("https://a.com/p#x", "https://a.com/p#x", t(9)),   # latest
+            ("https://c.com/r", "https://c.com/r", t(3)),
+            ("https://c.com/r#y", "https://c.com/r#y", t(3)),   # tie -> min id
+        ],
+        "doc_id string, url string, warc_ts timestamp",
+    )
+    rows = {r["url_norm"]: r["keep_id"]
+            for r in url_dedup(df, ts_col="warc_ts").collect()}
+    assert rows == {"https://a.com/p": "https://a.com/p#x",
+                    "https://c.com/r": "https://c.com/r"}
