@@ -173,11 +173,22 @@ def minhash_lsh_pairs(
     (recall 0.707 -> 0.241) while body-shared content near-dups keep
     recall 1.000 at 3x fewer candidates."""
     rows = num_hashes // bands
-    # localCheckpoint: the signature (12 md5 array scans per doc) would
-    # otherwise be recomputed once per band branch and once per join side —
-    # an 8x blowup observed at sf0.1.  The checkpointed table is tiny
-    # (one row per doc).
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).localCheckpoint()
+    # ONE exploded shingle frame feeds both the signatures and the exact-
+    # Jaccard verification (they derive from the same distinct-shingle set;
+    # r07, guide §2.4 — the old plan computed the shingle arrays twice).
+    # localCheckpoint: it fans into the signature agg and both verify join
+    # sides; the frame is docs x shingles of short strings.
+    sh_all = _doc_shingles(df, id_col, text_col, n).localCheckpoint()
+    # signatures via explode + groupBy min instead of array_min(transform):
+    # higher-order functions evaluate interpreted (no whole-stage codegen),
+    # so k md5s per array element in a lambda were the dominant cost; the
+    # relational form runs codegen'd md5 + a map-side-combinable min
+    # aggregate over the SAME seeded-hash values (min over the distinct set
+    # == array_min over the array — guide §4.1, prefer built-ins).
+    sig = sh_all.groupBy(F.col("doc")).agg(
+        *[F.min(seeded_hash(F.col("sh"), i)).alias(f"mh_{i}")
+          for i in range(num_hashes)]
+    ).localCheckpoint()
     band_keys = F.array(
         *[
             F.concat_ws("_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
@@ -197,10 +208,11 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to the candidate pairs (never
     # re-derive all overlapping pairs — that defeats the point of LSH);
-    # checkpointed because it feeds both sides of the pair join:
-    sh = cap_document_frequency(
-        _doc_shingles(df, id_col, text_col, n), max_df
-    ).localCheckpoint()
+    # derives from the SAME checkpointed shingle frame as the signatures
+    # (the df cap applies only to verification — signature recall unchanged)
+    sh = cap_document_frequency(sh_all, max_df)
+    if max_df is not None:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("b_doc"), F.col("sh").alias("sh_b"))

@@ -19,6 +19,33 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash
 
 
+def _np_iter_cos_vs_queries(emb_iter, q_ids, Q, id_name, skip_self: bool):
+    """mapInPandas body: stream corpus batches, score each row against the
+    broadcast query matrix with fastcos (JVM-identical doubles), emit
+    (q_id, n_id, cos) candidate rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import fastcos as FC
+
+    q_norms = FC.norms_l2(Q)
+    for pdf in emb_iter:
+        if not len(pdf):
+            continue
+        V = FC._stack(pdf["n_vec"])
+        ids = pdf[id_name].to_numpy()
+        C = FC.cross_cos(V, Q, c_norms=q_norms)  # (n, n_queries) rounded
+        n, k = C.shape
+        out = pd.DataFrame({
+            "q_id": np.tile(q_ids, n),
+            "n_id": np.repeat(ids, k),
+            "cos": C.ravel(),
+        })
+        if skip_self:
+            out = out[out["q_id"] != out["n_id"]]
+        yield out
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -38,20 +65,53 @@ def cosine(a, b):
 def cosine_topk(
     emb: DataFrame, query_ids: list, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query id, the k nearest other
     vectors.  Returns (q_id, n_id, cos) with deterministic tie-break on id.
-    The query side is tiny -> broadcast; the corpus is scanned once."""
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    The query side is tiny -> broadcast; the corpus is scanned once.
+
+    ``use_arrow=True`` (default) scores the scan with a NumPy mapInPandas
+    batch kernel instead of the JVM aggregate/zip_with expression: higher-
+    order functions are evaluated interpreted (no whole-stage codegen), and
+    the Arrow path computes bit-identical doubles (functions/fastcos.py) at
+    a fraction of the cost (guide §4.2).  ``False`` keeps the pure-Column
+    plan — the equivalence test pins the two paths equal."""
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"))
-    )
+    if use_arrow:
+        import numpy as np
+
+        from ..functions import fastcos as FC
+
+        # the query set is the operator's bounded input (a handful of ids);
+        # pulling it to the driver is the same control-plane transfer the
+        # broadcast-join plan performed, minus one corpus-side scan
+        q_rows = sorted(
+            emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+            .collect()
+        )
+        q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in q_rows])
+        sc = emb.sparkSession.sparkContext
+        b = sc.broadcast((q_ids, Q))
+
+        def score(it):
+            yield from _np_iter_cos_vs_queries(
+                it, b.value[0], b.value[1], "n_id", skip_self=True
+            )
+
+        scored = c.mapInPandas(score, "q_id long, n_id long, cos double")
+    else:
+        q = emb.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -139,24 +199,71 @@ def adaptive_nbits(n: int, target_bucket: int = 64, min_bits: int = 4,
     return max(min_bits, min(max_bits, bits))
 
 
+def _bucket_nn_pandas(pdf):
+    """Per-bucket NN kernel: (vid, vec) rows sharing one LSH bucket ->
+    (vec_id, nn_id, cos) best match per vector, cosine doubles and argmax
+    tie-break (cos desc, nn_id asc) identical to the JVM pair-join plan."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import fastcos as FC
+
+    n = len(pdf)
+    if n < 2:  # a singleton bucket emits nothing (the inner pair join)
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "nn_id": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+    pdf = pdf.sort_values("vid", kind="mergesort")
+    ids = pdf["vid"].to_numpy()
+    V = FC._stack(pdf["vec"])
+    norms = FC.norms_l2(V)
+    out_nn = np.empty(n, dtype=np.int64)
+    out_cos = np.empty(n, dtype=np.float64)
+    # row blocks bound the (block x n) cosine matrix for hot buckets
+    step = max(1, min(n, 4_000_000 // max(n, 1)))
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        C = FC.cross_cos(V[s:e], V, v_norms=norms[s:e], c_norms=norms)
+        for r in range(s, e):
+            C[r - s, r] = -np.inf  # exclude self
+        m = C.max(axis=1)
+        # ids ascend, so the first tie along the row is the min nn_id
+        idx = np.argmax(C == m[:, None], axis=1)
+        out_nn[s:e] = ids[idx]
+        out_cos[s:e] = m
+    return pd.DataFrame({"vec_id": ids, "nn_id": out_nn, "cos": out_cos})
+
+
 def lsh_bucketed_nn(
     emb: DataFrame, nbits: int | None = 8, id_col: str = "vec_id", vec_col: str = "embedding",
-    target_bucket: int = 64,
+    target_bucket: int = 64, use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate nearest neighbor within sign-LSH buckets: for every
     vector, the best cosine match sharing its bucket.  Returns
-    (vec_id, nn_id, cos).  The join is equi on bucket — shuffle on a
+    (vec_id, nn_id, cos).  The work is keyed on bucket — shuffle on a
     low-cardinality key; AQE splits hot buckets.
 
     ``nbits=None`` sizes the bucket width from the corpus count
     (adaptive_nbits) — one count job up front; on a metastore-backed table
-    at 100 TB, use the table statistics row count instead of a scan."""
+    at 100 TB, use the table statistics row count instead of a scan.
+
+    ``use_arrow=True`` (default) computes the within-bucket argmax with a
+    per-bucket NumPy kernel (groupBy(bucket).applyInPandas): the JVM plan
+    evaluated one interpreted aggregate/zip_with cosine per PAIR and then
+    sort-aggregated the O(sum |bucket|^2) pair frame (max(struct) has no
+    hash-agg path); the kernel computes the same doubles (fastcos) inside
+    one vectorized matrix pass per bucket and emits only the n argmax rows.
+    ``False`` keeps the original pair-join plan for A/B equivalence."""
     if nbits is None:
         nbits = adaptive_nbits(emb.count(), target_bucket)
     b = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         sign_bucket(vec_col, nbits).alias("bucket"),
     )
+    if use_arrow:
+        return b.groupBy("bucket").applyInPandas(
+            _bucket_nn_pandas, "vec_id long, nn_id long, cos double"
+        )
     x = b.alias("x")
     y = b.alias("y")
     pairs = x.join(
@@ -263,6 +370,45 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _collect_centroids(centroids: DataFrame):
+    """Centroid DataFrame -> (cells int64[k], C float64[k, d]) sorted by
+    cell id ascending — the bounded dimension transfer the JVM plan made as
+    a broadcast; k <= 65536 by construction (adaptive_n_cells clamp)."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r[0])
+    cells = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return cells, C
+
+
+def _assign_pandas_factory(bvar):
+    """mapInPandas body for IVF assignment: per corpus batch, cosine each
+    vector against every centroid (fastcos — JVM-identical doubles) and keep
+    the argmax cell (sim desc, cell asc), passing the vector through."""
+
+    def assign(it):
+        import numpy as np
+
+        from ..functions import fastcos as FC
+
+        cells, C = bvar.value
+        c_norms = FC.norms_l2(C)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = FC._stack(pdf["vec"])
+            S = FC.cross_cos(V, C, c_norms=c_norms)  # (n, k) rounded
+            m = S.max(axis=1)
+            # cells ascend, so the first tie along the row is the min cell
+            idx = np.argmax(S == m[:, None], axis=1)
+            out = pdf[["vid", "vec"]].copy()
+            out["cell"] = cells[idx].astype("int32")
+            yield out
+
+    return assign
+
+
 def ivf_centroids(emb: DataFrame, n_cells: int | None = 8, id_col: str = "vec_id",
                   vec_col: str = "embedding", refine_steps: int = 1) -> DataFrame:
     """Deterministic coarse quantizer: seed cell = portable_hash(id) %
@@ -297,12 +443,26 @@ def ivf_centroids(emb: DataFrame, n_cells: int | None = 8, id_col: str = "vec_id
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Inverted lists: each vector joins its argmax-cosine centroid (ties ->
-    lowest cell id).  Corpus scan x broadcast(k centroids) — linear.  The
-    argmax is a groupBy max(struct(sim, -cell, ...)), NOT a window: partial
-    aggregation collapses the k-fold expansion map-side, so only n rows
-    shuffle instead of n*k sorting through a window."""
+               vec_col: str = "embedding", use_arrow: bool = True) -> DataFrame:
+    """Inverted lists: each vector gets its argmax-cosine centroid (ties ->
+    lowest cell id).  One corpus scan against the (bounded, <= 65536-row)
+    centroid table — linear.
+
+    ``use_arrow=True`` (default): the centroid table is collected once
+    (the same driver->executor dimension transfer the broadcast join made)
+    and the n x k score matrix is computed per Arrow batch by the NumPy
+    kernel (fastcos — bit-identical doubles), emitting exactly n assigned
+    rows with no k-fold row expansion at all.  ``False`` keeps the original
+    crossJoin(broadcast) + groupBy max(struct) plan, whose k-fold expansion
+    evaluated one interpreted aggregate/zip_with cosine per (vector,
+    centroid) pair — the measured 60-second wall at 20k x 141 (bench r6)."""
+    if use_arrow:
+        sc = emb.sparkSession.sparkContext
+        bvar = sc.broadcast(_collect_centroids(centroids))
+        src = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        return src.mapInPandas(
+            _assign_pandas_factory(bvar), "vid long, vec array<double>, cell int"
+        )
     scored = (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(centroids))
@@ -328,14 +488,27 @@ def ivf_topk(emb: DataFrame, query_ids: list, k: int = 3, n_cells: int | None = 
     probe the nprobe closest cells per query, exact cosine top-k within the
     probed lists.  Returns (q_id, n_id, cos, rnk).
 
-    Scale shape: centroids are k rows (broadcast everywhere); the corpus is
-    scanned once for assignment and the candidate set is ~nprobe/n_cells of
-    the corpus per query — the standard IVF pruning.  Every vector lives in
-    exactly ONE cell, so the probe join cannot duplicate candidates."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col).localCheckpoint()
+    Scale shape: centroids are k rows (bounded dimension, shipped to every
+    task); the corpus is scanned once for assignment and the candidate set
+    is ~nprobe/n_cells of the corpus per query — the standard IVF pruning.
+    Every vector lives in exactly ONE cell, so the probe join cannot
+    duplicate candidates.
+
+    r07 plan notes (guide §2.4/§4.2): the query vectors are read straight
+    off the corpus (assignment does not change ``vec``), dropping the
+    second full assignment pass that ``inv.filter(...isin...)`` paid; the
+    centroid table is rebuilt from the already-collected rows instead of a
+    localCheckpoint, so its job tree runs exactly once; and assignment
+    itself is the NumPy Arrow kernel (see ivf_assign)."""
+    cents_df = ivf_centroids(emb, n_cells, id_col, vec_col)
+    cells_np, C_np = _collect_centroids(cents_df)
+    cents = emb.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in zip(cells_np, C_np)],
+        "cell int, centroid array<double>",
+    )
     inv = ivf_assign(emb, cents, id_col, vec_col)
-    q = inv.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec")
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     probe_w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
     probed = (
