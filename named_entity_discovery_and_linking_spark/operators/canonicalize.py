@@ -22,8 +22,46 @@ from pyspark.sql import functions as F
 
 MAX_CC_ROUNDS = 12
 
+# Driver short-circuit bound for connected_components: edge sets at or
+# below this size are collected (one bounded job) and closed with a
+# union-find on the driver instead of O(log n) sequential distributed
+# rounds — at bench scale the loop is pure job latency (each round is a
+# full-plan job over a few hundred contracted-root edges).  Above the
+# bound the distributed pointer-jumping loop runs unchanged, so 100-TB
+# inputs never hit the driver; 200k edges ≈ a few MB collected, the same
+# order as a broadcast-side dimension (guide §5: bounded control-plane
+# collects, not data-plane ones).
+CC_DRIVER_MAX_EDGES = 200_000
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+
+def _driver_union_find(pairs):
+    """Min-label connected components over (src, dst) pairs on the driver.
+    Returns {node: min_node_in_component}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so every root is its component's minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS,
+                         driver_max_edges: int | None = CC_DRIVER_MAX_EDGES) -> DataFrame:
     """Min-label propagation WITH pointer jumping over (src, dst) edges.
 
     Returns (mid, cluster_id) where cluster_id is the lexicographically
@@ -43,7 +81,29 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     partitions it touched and the next round would recompute the rest from
     untruncated lineage).  If the round cap is hit without convergence we
     RAISE rather than silently return split components.
+
+    r07: edge sets at or below ``driver_max_edges`` short-circuit to a
+    driver union-find (identical min-label result, one bounded collect
+    instead of O(log n) sequential round jobs — see CC_DRIVER_MAX_EDGES);
+    the probe collects at most driver_max_edges + 1 rows, so an oversized
+    edge set falls through to the distributed loop without ever
+    materializing on the driver.
     """
+    if driver_max_edges is not None:
+        probe = edges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            spark = edges.sparkSession
+            comp = _driver_union_find((r[0], r[1]) for r in probe)
+            src_type = edges.schema[0].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType([
+                StructField("mid", src_type, True),
+                StructField("cluster_id", src_type, True),
+            ])
+            return spark.createDataFrame(
+                sorted(comp.items()), schema
+            )
     sym = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -360,7 +360,11 @@ def generate_candidates_unified(queries: DataFrame, alias_table: DataFrame,
         .agg(F.count("*").alias("n_matched"))
         .filter(F.col("n_matched") == F.col("n_q"))  # AND semantics
         .withColumn("d_star", F.lit(0))
-        .localCheckpoint()  # feeds the union AND the fuzzy-phase anti-join
+        # no localCheckpoint (r07): both consumers (the union and the
+        # fuzzy-phase anti-join) live inside ONE downstream action, and the
+        # subtree ends in an exchange, so AQE's ReuseExchangeAndSubquery
+        # dedups it at runtime — the eager checkpoint was one more
+        # sequential job in the latency-bound chain
     )
     # fuzzy triggers when the GATED capped exact set is empty
     # (linking.py:317-319: score_candidates(search_candidates(name, 0))
@@ -622,7 +626,8 @@ def tmpkb_lookup(nil_queries: DataFrame, tmpkb: DataFrame) -> DataFrame:
 
 def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
                   promote: bool = True,
-                  broadcast_index: bool | None = None) -> DataFrame:
+                  broadcast_index: bool | None = None,
+                  prebuilt_alias_table: DataFrame | None = None) -> DataFrame:
     """Full E2: NAM mentions -> links (url, mid, eid, cname, confidence,
     rank, subcomponent).  subcomponent follows the reference encoding:
     0 = EntityLinker.query result, exact AND fuzzy (linking.py:564-568);
@@ -644,12 +649,23 @@ def link_mentions(mentions: DataFrame, kb: DataFrame, aliases: DataFrame,
     # variant index, attribute rejoin); without materialization every
     # broadcast job re-runs clean_kb's dedup window — checkpoint once
     # (dimension-scale: localCheckpoint is fine here).
-    alias_table = build_alias_table(clean_kb(kb), aliases).localCheckpoint()
+    # ``prebuilt_alias_table`` lets a caller that already materialized the
+    # table (e.g. kg_pipeline, which overlaps its build with the mention
+    # discovery job — guide §2.6) hand it in instead of paying the 5-job
+    # sequential build again here.
+    if prebuilt_alias_table is not None:
+        alias_table = prebuilt_alias_table
+    else:
+        alias_table = build_alias_table(clean_kb(kb), aliases).localCheckpoint()
     # queries feeds candidate gen, scoring, the NIL anti-join and the tmp-KB
-    # lookups; one materialization saves 3+ re-derivations from mentions.
-    # Data-scale frames use the parquet spill (session.materialize) — object
-    # caching was ~50% GC at bench scale.
-    queries = materialize(_nam_queries(mentions), "queries")
+    # lookups.  r07: localCheckpoint instead of the parquet materialize —
+    # the frame is one narrow row per NAM mention (~100x smaller than the
+    # data-scale frames the parquet spill exists for), so the in-memory
+    # checkpoint truncates lineage for all 5 consumers at one small job
+    # instead of a write+read pair; callers that pass an unmaterialized
+    # mentions frame (tests, ad-hoc composition) also stay protected from
+    # tagger re-derivation.
+    queries = _nam_queries(mentions).localCheckpoint()
 
     cands = generate_candidates_unified(queries, alias_table, MAX_FUZZY_DIST,
                                         broadcast_index=broadcast_index)
