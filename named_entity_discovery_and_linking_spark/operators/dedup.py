@@ -173,21 +173,31 @@ def minhash_lsh_pairs(
     (recall 0.707 -> 0.241) while body-shared content near-dups keep
     recall 1.000 at 3x fewer candidates."""
     rows = num_hashes // bands
-    # ONE exploded shingle frame feeds both the signatures and the exact-
-    # Jaccard verification (they derive from the same distinct-shingle set;
-    # r07, guide §2.4 — the old plan computed the shingle arrays twice).
-    # localCheckpoint: it fans into the signature agg and both verify join
-    # sides; the frame is docs x shingles of short strings.
-    sh_all = _doc_shingles(df, id_col, text_col, n).localCheckpoint()
+    # the exploded shingle frame is a MAP-ONLY derivation (split + distinct
+    # + explode); the shingle-building transform() is an interpreted
+    # higher-order function, so every extra derivation over the full corpus
+    # costs a full HOF pass — the r07 shape runs it over the corpus exactly
+    # ONCE (the fused signature+size aggregation below) and a second time
+    # only over the (broadcast-semi-filtered) candidate docs, which at any
+    # sane threshold are a vanishing fraction of the corpus.  Caching the
+    # exploded frame itself is worse than either: a docs x shingles
+    # localCheckpoint is the measured object-store GC pathology
+    # (session.materialize notes; 2.5 s to build at sf1.0).
+    sh_all = _doc_shingles(df, id_col, text_col, n)
     # signatures via explode + groupBy min instead of array_min(transform):
     # higher-order functions evaluate interpreted (no whole-stage codegen),
     # so k md5s per array element in a lambda were the dominant cost; the
     # relational form runs codegen'd md5 + a map-side-combinable min
     # aggregate over the SAME seeded-hash values (min over the distinct set
-    # == array_min over the array — guide §4.1, prefer built-ins).
+    # == array_min over the array — guide §4.1, prefer built-ins).  The
+    # uncapped per-doc shingle count rides along in the SAME pass (it is
+    # exactly the verification set size when max_df is None), and the
+    # resulting one-narrow-row-per-doc table is checkpointed: it feeds both
+    # self-join sides of the band candidate join plus the size lookups.
     sig = sh_all.groupBy(F.col("doc")).agg(
         *[F.min(seeded_hash(F.col("sh"), i)).alias(f"mh_{i}")
-          for i in range(num_hashes)]
+          for i in range(num_hashes)],
+        F.count("*").alias("n_sh_all"),
     ).localCheckpoint()
     band_keys = F.array(
         *[
@@ -201,19 +211,42 @@ def minhash_lsh_pairs(
     )
     x = band_rows.alias("x")
     y = band_rows.alias("y")
+    # candidate pairs are checkpointed: they feed the verify join AND the
+    # two broadcast semi-filters that prune the shingle re-derivation
     cand = (
         x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc") < F.col("y.doc")))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
     # exact-Jaccard verification restricted to the candidate pairs (never
-    # re-derive all overlapping pairs — that defeats the point of LSH);
-    # derives from the SAME checkpointed shingle frame as the signatures
-    # (the df cap applies only to verification — signature recall unchanged)
-    sh = cap_document_frequency(sh_all, max_df)
-    if max_df is not None:
-        sh = sh.localCheckpoint()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    # re-derive all overlapping pairs — that defeats the point of LSH).
+    # Only candidate docs need their shingle SETS back, so the re-derivation
+    # is pruned with a broadcast semi-join BEFORE the explode (project
+    # early — guide §2.3); the df cap applies only to verification, so
+    # signature recall is unchanged.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("cdoc"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    df_c = df.join(
+        F.broadcast(cand_docs), F.col(id_col) == F.col("cdoc"), "left_semi"
+    )
+    if max_df is None:
+        sh = _doc_shingles(df_c, id_col, text_col, n)
+        # n_sh == the uncapped count already computed in the signature pass
+        sizes = sig.select("doc", F.col("n_sh_all").alias("n_sh"))
+    else:
+        # capped Jaccard needs capped set sizes, and the census must run
+        # over the FULL corpus (a shingle's document frequency counts every
+        # doc, not just candidates) — keep the uncapped-corpus census +
+        # candidate-pruned sets
+        sh_full = cap_document_frequency(sh_all, max_df).localCheckpoint()
+        sh = sh_full.join(
+            F.broadcast(cand_docs), F.col("doc") == F.col("cdoc"), "left_semi"
+        )
+        sizes = sh_full.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("b_doc"), F.col("sh").alias("sh_b"))
     shared = (
