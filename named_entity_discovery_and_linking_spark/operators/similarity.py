@@ -283,10 +283,35 @@ def lsh_bucketed_nn(
     return best.select("vec_id", F.col("b.nn_id").alias("nn_id"), F.col("b.cos").alias("cos"))
 
 
+def _pairs_cos_filter(pairs_with_vecs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, vec_a, vec_b) candidate pairs -> (id_a, id_b, cos) with
+    cos >= threshold; cosine computed by the NumPy Arrow kernel (fastcos —
+    doubles bit-identical to the JVM expression it replaces)."""
+
+    def run(it):
+        import pandas as pd
+
+        from ..functions import fastcos as FC
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = FC._stack(pdf["vec_a"])
+            B = FC._stack(pdf["vec_b"])
+            out = pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy(),
+                "id_b": pdf["id_b"].to_numpy(),
+                "cos": FC.rows_cos(A, B),
+            })
+            yield out[out["cos"] >= threshold]
+
+    return pairs_with_vecs.mapInPandas(run, "id_a long, id_b long, cos double")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, nbits: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", target_bucket: int = 64,
-    n_tables: int = 1,
+    n_tables: int = 1, use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the training-data-dedup
     brief's fifth dedup mode, alongside exact/Jaccard/MinHash/SimHash):
@@ -311,14 +336,18 @@ def embedding_near_dup_pairs(
     if n_tables <= 1:
         b = base.withColumn("bucket", sign_bucket("vec", nbits))
         x, y = b.alias("x"), b.alias("y")
-        return (
-            x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid")))
-            .select(
-                F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"),
-                F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos"),
-            )
-            .filter(F.col("cos") >= threshold)
+        pairs = x.join(
+            y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vid") < F.col("y.vid"))
+        ).select(
+            F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"),
+            F.col("x.vec").alias("vec_a"), F.col("y.vec").alias("vec_b"),
         )
+        if use_arrow:  # r07: Arrow kernel verify (guide §4.2)
+            return _pairs_cos_filter(pairs, threshold)
+        return pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+        ).filter(F.col("cos") >= threshold)
     cand = None
     for t in range(n_tables):
         bt = base.withColumn("bucket", sign_bucket("vec", nbits, offset=t * nbits))
@@ -330,14 +359,15 @@ def embedding_near_dup_pairs(
     cand = cand.distinct()
     a = base.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
     bv = base.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
-    return (
-        cand.join(a, "id_a").join(bv, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    withv = cand.join(a, "id_a").join(bv, "id_b").select(
+        "id_a", "id_b", "vec_a", "vec_b"
     )
+    if use_arrow:  # r07: Arrow kernel verify (guide §4.2)
+        return _pairs_cos_filter(withv, threshold)
+    return withv.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
 
 
 # ------------------------------------------------------------------ IVF

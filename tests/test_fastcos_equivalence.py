@@ -153,3 +153,12 @@ def test_minhash_pairs_explode_signature_unchanged(spark):
     )
     assert sig_old == sig_new
     assert len(pairs) > 0
+
+
+def test_near_dup_pairs_arrow_equals_jvm(emb_df):
+    for nt in (1, 2):
+        new = _rows(S.embedding_near_dup_pairs(
+            emb_df, threshold=0.3, nbits=5, n_tables=nt, use_arrow=True))
+        old = _rows(S.embedding_near_dup_pairs(
+            emb_df, threshold=0.3, nbits=5, n_tables=nt, use_arrow=False))
+        assert new == old and len(new) > 0
