@@ -204,9 +204,14 @@ def main(argv=None):
         id_col = "doc_id" if "doc_id" in docs.columns else "url"
         if "url" not in docs.columns:
             # no crawl url: synthesize a unique one so the url-dedup stage
-            # degenerates to a no-op instead of failing the contract
+            # degenerates to a no-op instead of failing the contract.
+            # md5 of the id, NOT the raw id (advisor r6 #2): normalize_url
+            # lowercases the scheme://host prefix and strips fragments /
+            # trailing slashes, so raw string ids differing only in case or
+            # containing '#'/'?'/'/' would collapse to one url_norm and be
+            # silently dropped; a hex digest is invariant under all of it.
             docs = docs.withColumn(
-                "url", F.concat(F.lit("id://"), F.col(id_col).cast("string"))
+                "url", F.concat(F.lit("id://"), F.md5(F.col(id_col).cast("string")))
             )
         if args.benchmark:
             bench = spark.read.parquet(args.benchmark)

@@ -100,9 +100,14 @@ def budget_sample(df: DataFrame, budgets: dict[str, int],
         for r in df.groupBy(F.col(strata_col).alias("s"))
         .agg(F.sum(F.col(token_col).cast("long")).alias("t")).collect()
     }
+    # a NULL stratum (common for lang in web corpora) must not reach the
+    # rate table: sorted(rates.items()) would raise on None vs str, and a
+    # `col == None` arm could never match a NULL row anyway — NULL-stratum
+    # rows fall through to stratified_sample's default_rate (0.0: no
+    # budget key can name them), the advisor r6 #3 fix
     rates = {
         s: min(1.0, budgets.get(s, default_budget) / t) if t else 0.0
-        for s, t in totals.items()
+        for s, t in totals.items() if s is not None
     }
     return stratified_sample(df, rates, strata_col=strata_col,
                              key_col=key_col, seed=seed, default_rate=0.0)

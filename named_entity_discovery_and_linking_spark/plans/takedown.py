@@ -155,17 +155,55 @@ def takedown_urls(spark: SparkSession, out_dir: str, urls: list[str] | DataFrame
         raise RuntimeError(f"another takedown holds {claim}")
     t0 = time.time()
     removed: dict[str, int] = {}
+    per_url: dict[str, int] = {r["url"]: 0 for r in urls_df.collect()}
     try:
         for table in URL_TABLES:
             path = fs.join(out_dir, table)
             if fs.exists(path):
+                df = spark.read.parquet(fs.spark_path(path))
+                if "url" in df.columns:
+                    # per-url match accounting (advisor r6 #4): a requested
+                    # url that normalize_url would collapse differently
+                    # matches nothing — surface that instead of silently
+                    # removing zero rows.  Bounded: one row per request url.
+                    for r in (
+                        df.join(broadcast(urls_df), "url", "left_semi")
+                        .groupBy("url").count().collect()
+                    ):
+                        per_url[r["url"]] += int(r["count"])
                 removed[table] = _rewrite_table(spark, fs, path, urls_df, n_buckets)
         nodes_path = fs.join(out_dir, "nodes")
         edges_path = fs.join(out_dir, "edges")
         if fs.exists(nodes_path) and fs.exists(edges_path):
             removed["nodes"] = _gc_nodes(spark, fs, nodes_path, edges_path)
+        # the N-Triples export is DERIVED from the triples table (one line
+        # per row); leaving it stale would let taken-down content survive a
+        # "successful" takedown in a materialized artifact (advisor r6 #1).
+        nt_path = fs.join(out_dir, "triples_nt")
+        tri_path = fs.join(out_dir, "triples")
+        if fs.exists(nt_path) and fs.exists(tri_path):
+            from ..sources.io import write_ntriples
+
+            n_nt_before = spark.read.text(fs.spark_path(nt_path)).count()
+            tmp_nt = nt_path.rstrip("/") + ".__takedown_tmp"
+            fs.rmtree(tmp_nt)
+            write_ntriples(
+                spark.read.parquet(fs.spark_path(tri_path)), fs.spark_path(tmp_nt)
+            )
+            n_nt_after = spark.read.text(fs.spark_path(tmp_nt)).count()
+            _swap_dirs(fs, nt_path, tmp_nt)
+            removed["triples_nt"] = n_nt_before - n_nt_after
     finally:
         fs.break_claim_if(claim, "takedown")
+
+    unmatched = sorted(u for u, n in per_url.items() if n == 0)
+    if unmatched:
+        print(
+            f"takedown: {len(unmatched)} url(s) matched 0 rows in every table "
+            f"(check canonicalization — raw tables store the url as crawled): "
+            + ", ".join(unmatched[:20])
+        )
+    removed["urls_unmatched"] = len(unmatched)
 
     lineage_dir = fs.join(out_dir, "_lineage")
     if fs.exists(lineage_dir):

@@ -101,5 +101,16 @@ def run_curate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # availableNow terminates by itself once the backlog is drained; a
+    # timed wait that falls through would let the caller read a PARTIAL
+    # curated count while the query still runs, and a second invocation
+    # could race the live query on the same checkpoint (advisor r6 #5).
+    # The timeout is therefore a hard deadline, not a fallthrough.
+    if not q.awaitTermination(timeout_sec) and q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"curate stream still active after {timeout_sec}s — backlog not "
+            "drained; rerun with a larger timeout (checkpoint state resumes "
+            "exactly-once)"
+        )
     return q

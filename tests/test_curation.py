@@ -111,3 +111,25 @@ def test_decisions_are_partitioning_independent(pipeline, spark):
                 "dedup_canonical"]:
         assert f1[col].sort_index().equals(f2[col].sort_index()), col
     assert not f2.contaminated.any()
+
+
+def test_curate_cli_synthesized_urls_are_dedup_neutral(spark, tmp_path):
+    """Advisor r6 #2: string doc ids differing only in case or carrying
+    '#'/'?'/trailing '/' must NOT collapse at the url stage (normalize_url
+    lowercases the scheme://host prefix and strips fragments); the id://
+    url is an md5 of the id, invariant under all of it."""
+    from named_entity_discovery_and_linking_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [("DocA", "alpha beta gamma delta epsilon zeta"),
+            ("doca", "eta theta iota kappa lambda mu"),
+            ("x#1", "nu xi omicron pi rho sigma"),
+            ("x/1/", "tau upsilon phi chi psi omega")]
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in rows], "doc_id string, text string, lang string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main(["--curate", "--pages", src, "--out", out]) == 0
+    flags = spark.read.parquet(f"{out}/curation_flags")
+    assert flags.count() == 4
+    assert flags.filter("drop_stage = 'url'").count() == 0

@@ -709,3 +709,17 @@ def test_budget_sample_hits_token_budgets(spark):
     k2 = {r["doc_id"] for r in budget_sample(
         df.repartition(17), budgets, token_col="n_tokens").collect()}
     assert k1 == k2
+
+
+def test_budget_sample_null_stratum_takes_default(spark):
+    """Advisor r6 #3: a NULL stratum (no lang id) must neither crash the
+    rate-table sort nor silently match anything — NULL rows fall through
+    to the default rate (0.0)."""
+    from named_entity_discovery_and_linking_spark.operators.sampling import budget_sample
+
+    rows = [(i, "en" if i % 2 else None, 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    kept = budget_sample(df, {"en": 1000}, token_col="n_tokens")
+    out = kept.collect()
+    assert all(r.lang == "en" for r in out)
+    assert 0 < len(out) <= 20

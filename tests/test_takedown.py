@@ -89,7 +89,9 @@ def test_takedown_idempotent_and_empty_noop(spark, built):
     victims = urls[:2]
     takedown_urls(spark, built, victims, n_buckets=BUCKETS)  # may be a repeat
     again = takedown_urls(spark, built, victims, n_buckets=BUCKETS)
-    assert all(v == 0 for v in again.values()), again
+    assert all(v == 0 for k, v in again.items() if k != "urls_unmatched"), again
+    # advisor r6 #4: the repeat surfaces that every url matched nothing
+    assert again["urls_unmatched"] == len(victims)
     assert takedown_urls(spark, built, [], n_buckets=BUCKETS) == {}
 
 
@@ -128,3 +130,27 @@ def test_takedown_covers_curation_tables_and_claim_fences(spark, built, tmp_path
             takedown_urls(spark, built, [victim], n_buckets=BUCKETS)
     finally:
         fs.break_claim_if(claim, "other-driver")
+
+
+def test_takedown_regenerates_ntriples_and_reports_unmatched(spark, tmp_path):
+    """Advisor r6 #1/#4: the triples_nt text export must not retain
+    taken-down content, and urls matching zero rows must be surfaced."""
+    from named_entity_discovery_and_linking_spark.fixtures.generator import pages_df
+
+    src, out = str(tmp_path / "pages"), str(tmp_path / "out")
+    pages_df(spark, n_pages=12).write.parquet(src)
+    assert main(["--pages", src, "--out", out, "--buckets", str(BUCKETS),
+                 "--ntriples"]) == 0
+    tri_before = spark.read.parquet(f"{out}/triples").count()
+    assert spark.read.text(f"{out}/triples_nt").count() == tri_before
+
+    victim = _urls_with_rows(spark, out)[0]
+    removed = takedown_urls(spark, out, [victim, "http://never-crawled.example/x"],
+                            n_buckets=BUCKETS)
+    tri_after = spark.read.parquet(f"{out}/triples").count()
+    assert removed["triples"] == tri_before - tri_after > 0
+    # the derived export was rewritten in the same pass, line-for-row
+    assert removed["triples_nt"] == removed["triples"]
+    assert spark.read.text(f"{out}/triples_nt").count() == tri_after
+    # the never-crawled url removed nothing anywhere and is reported
+    assert removed["urls_unmatched"] == 1
